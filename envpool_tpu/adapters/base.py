@@ -1,0 +1,204 @@
+"""Stateful pool wrapper: the analog of ``EnvPoolMixin``.
+
+Mirrors the API-agnostic half of the reference's Python layer
+(``envpool/python/envpool.py:61-384``): batched ``step/reset/send/recv/
+async_reset``, action normalization (dict or bare array, optional ``env_id``
+routing), and the sync/async split.
+
+TPU-native async mode: with ``batch_size < num_envs`` the pool runs
+*partial steps* — a gather/step/scatter program over the addressed env rows.
+``send`` only dispatches the compiled program (JAX dispatch is asynchronous),
+so several partial steps are in flight on the device queue while the host
+runs the learner; ``recv`` blocks on the oldest one.  This replaces the
+reference's worker threads + StateBufferQueue pipelining
+(``envpool/core/state_buffer_queue.h:35-164``) with the device queue itself.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.engine import Engine, TimeStepDict
+from ..core.env import TpuEnv
+from ..core.env_spec import EnvSpec
+
+__all__ = ["EnvPoolBase"]
+
+
+class EnvPoolBase:
+    """Holds the device-resident PoolState and drives the Engine."""
+
+    def __init__(self, spec: EnvSpec):
+        self.spec = spec
+        self._env: TpuEnv = spec.env
+        self._engine = Engine.shared(
+            self._env, self._env.config.get("sharding")
+        )
+        self._state = self._engine.init()
+        self._recv_queue: deque = deque()
+        self.num_envs = self._env.num_envs
+        self.batch_size = int(self._env.config["batch_size"])
+        self.all_env_ids = np.arange(self.num_envs, dtype=np.int32)
+        self._numpy_output = bool(self._env.config.get("numpy_output", True))
+        self._action_keys = list(self._env.action_spec().keys())
+        self._state_keys = list(spec.state_array_spec.keys())
+
+    # -- properties mirroring EnvPoolMixin ---------------------------------
+
+    @property
+    def is_async(self) -> bool:
+        return self.batch_size < self.num_envs
+
+    @property
+    def config(self) -> dict[str, Any]:
+        return dict(self._env.config)
+
+    def __len__(self) -> int:
+        return self.num_envs
+
+    def __repr__(self) -> str:
+        cfg = ", ".join(f"{k}={v!r}" for k, v in self.config.items())
+        return f"{self.__class__.__name__}({cfg})"
+
+    def __str__(self) -> str:
+        return self.__repr__()
+
+    # -- action plumbing ---------------------------------------------------
+
+    def _from(
+        self,
+        action: dict[str, Any] | np.ndarray,
+        env_id: np.ndarray | None,
+    ) -> tuple[dict[str, jax.Array], jax.Array | None]:
+        """Normalize user action into a batched action tree + env_id rows.
+
+        Accepts a bare array for single-key action specs or a (possibly
+        nested via ``.``) dict, mirroring ``envpool.py:174-208``.
+        """
+        if isinstance(action, dict):
+            flat: dict[str, Any] = {}
+            for k, v in action.items():
+                flat[k] = v
+            env_id_from_dict = flat.pop("env_id", None)
+            flat.pop("players.env_id", None)
+            if env_id is None and env_id_from_dict is not None:
+                env_id = np.asarray(env_id_from_dict)
+            tree = {}
+            for k in self._action_keys:
+                if k not in flat:
+                    raise KeyError(f"missing action key {k!r}")
+                tree[k] = jnp.asarray(flat[k])
+        else:
+            if len(self._action_keys) != 1:
+                raise ValueError(
+                    "bare-array action requires a single-key action spec; "
+                    f"this env expects {self._action_keys}"
+                )
+            arr = jnp.asarray(action)
+            spec = self._env.action_spec()[self._action_keys[0]]
+            tree = {self._action_keys[0]: arr.astype(spec.dtype)}
+        if env_id is not None:
+            env_id = jnp.asarray(np.asarray(env_id, dtype=np.int32))
+        return tree, env_id
+
+    # -- send / recv -------------------------------------------------------
+
+    def send(
+        self,
+        action: dict[str, Any] | np.ndarray,
+        env_id: np.ndarray | None = None,
+    ) -> None:
+        """Dispatch one (partial) step; non-blocking."""
+        tree, env_id = self._from(action, env_id)
+        if env_id is None and not self.is_async:
+            self._state, ts = self._engine.step(self._state, tree)
+        else:
+            if env_id is None:
+                env_id = jnp.asarray(self.all_env_ids)
+            self._state, ts = self._engine.step_partial(
+                self._state, tree, env_id
+            )
+        self._recv_queue.append(ts)
+
+    def recv(self, reset: bool = False, return_info: bool = True) -> Any:
+        """Return the oldest dispatched batch (blocks on device transfer)."""
+        ts = self._recv_queue.popleft()
+        return self._to(self._materialize(ts), reset, return_info)
+
+    def async_reset(self) -> None:
+        """Reset all envs, delivering results in ``batch_size`` chunks."""
+        for start in range(0, self.num_envs, self.batch_size):
+            ids = self.all_env_ids[start : start + self.batch_size]
+            self._state, ts = self._reset_rows(jnp.asarray(ids))
+            self._recv_queue.append(ts)
+
+    # -- sync step / reset -------------------------------------------------
+
+    def step(
+        self,
+        action: dict[str, Any] | np.ndarray,
+        env_id: np.ndarray | None = None,
+    ) -> Any:
+        self.send(action, env_id)
+        return self.recv(reset=False, return_info=True)
+
+    def reset(self, env_id: np.ndarray | None = None) -> Any:
+        if env_id is None:
+            env_id = self.all_env_ids
+        self._state, ts = self._reset_rows(
+            jnp.asarray(np.asarray(env_id, dtype=np.int32))
+        )
+        return self._to(
+            self._materialize(ts),
+            reset=True,
+            return_info=bool(self.config.get("gym_reset_return_info", True)),
+        )
+
+    def _reset_rows(self, env_id: jax.Array):
+        mask = (
+            jnp.zeros(self.num_envs, jnp.bool_).at[env_id].set(True)
+        )
+        state, ts = self._engine.reset(self._state, mask)
+        ts = {k: jnp.take(v, env_id, axis=0) for k, v in ts.items()}
+        return state, ts
+
+    # -- output ------------------------------------------------------------
+
+    def _materialize(self, ts: TimeStepDict) -> dict[str, Any]:
+        if self._numpy_output:
+            arrs = jax.device_get(list(ts.values()))
+            return dict(zip(ts.keys(), arrs))
+        return ts
+
+    def _to(self, state: dict[str, Any], reset: bool, return_info: bool):
+        raise NotImplementedError
+
+    def close(self, **kwargs: Any) -> None:
+        del kwargs
+
+    # -- functional escape hatch -------------------------------------------
+
+    @property
+    def engine(self) -> Engine:
+        """The underlying pure-functional engine (jit/scan-able)."""
+        return self._engine
+
+    @property
+    def pool_state(self):
+        return self._state
+
+    def xla(self):
+        """Functional ``(handle, recv, send, step)``, like ``env.xla()``.
+
+        The handle is the PoolState pytree itself — fully jittable and
+        ``lax.scan``-able with *no* host callback, unlike the reference's
+        custom-call bridge (``envpool/core/xla.h:115-212``).
+        """
+        from .xla import make_xla
+
+        return make_xla(self)

@@ -1,0 +1,3 @@
+"""Import all env family registrations (``envpool/entry.py:16-32`` analog)."""
+
+import envpool_tpu.envs.classic_control.registration  # noqa: F401

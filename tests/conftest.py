@@ -1,0 +1,22 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated host-side via
+``--xla_force_host_platform_device_count`` (the strategy SURVEY.md §4
+prescribes for TPU builds); the real-chip path is exercised by bench.py.
+
+Note: the environment's sitecustomize force-registers the TPU PJRT plugin
+and overrides ``JAX_PLATFORMS``, so we must set the platform through
+``jax.config`` *before* the backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
