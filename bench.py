@@ -1,71 +1,81 @@
-"""Throughput benchmark: env-steps/s on the local chip.
+"""Throughput benchmark on the local chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline metric (Pong pixel-path env frames/s, the reference's own headline
+benchmark); secondary metrics go to stderr.
 
 Methodology mirrors the reference's FPS accounting
-(``benchmark/test_envpool.py:99-107``): total env frames / wall time, with
-the policy-side work excluded (random actions).  The headline metric is
-aggregate env-steps/s on CartPole-v1 with 16384 envs stepped through a
-jitted ``lax.scan`` rollout — the TPU-native equivalent of the reference's
-async mode at full saturation.
+(``benchmark/test_envpool.py:99-107``): FPS counts env *frames* — agent
+steps × frame_skip (4 for Atari) — over wall time, random actions, rollouts
+compiled as one ``lax.scan`` program (the TPU-native analog of async mode at
+full saturation).
 
-``vs_baseline`` compares against the BASELINE.json north star of 3M
-env-steps/s aggregate (the reference's own best TPU-VM numbers are
-359,559 FPS Atari async / 887,540 FPS MuJoCo async, ``BASELINE.md``).
+``vs_baseline`` compares Pong FPS against the reference's best published
+same-hardware-class number: EnvPool async Atari on the TPUv3-8 VM host =
+359,559 FPS (``BASELINE.md``).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-NUM_ENVS = 16384
-STEPS = 1024
-BASELINE = 3_000_000.0  # north-star target, env-steps/s
+ATARI_BASELINE = 359_559.0  # EnvPool async Atari FPS, TPU-VM (BASELINE.md)
+CARTPOLE_BASELINE = 3_000_000.0  # BASELINE.json north star, env-steps/s
 
 
-def bench_cartpole() -> float:
-    from envpool_tpu.core.engine import Engine
+def _bench(task: str, num_envs: int, steps: int, n_actions: int, reps: int = 3):
     import envpool_tpu
+    from envpool_tpu.core.engine import Engine
 
-    env = envpool_tpu.make_spec(
-        "CartPole-v1", num_envs=NUM_ENVS, seed=0
-    ).env
+    env = envpool_tpu.make_spec(task, num_envs=num_envs, seed=0).env
     engine = Engine.shared(env)
 
     def policy(ts, key):
         return {
-            "action": jax.random.bernoulli(key, 0.5, (NUM_ENVS,)).astype(
-                jnp.int32
+            "action": jax.random.randint(
+                key, (num_envs,), 0, n_actions, jnp.int32
             )
         }
 
-    run = engine.make_rollout(policy, STEPS, collect=False)
+    run = engine.make_rollout(policy, steps, collect=False)
     ps = engine.init()
-    # Warmup / compile.
-    ps, last = run(ps, jax.random.PRNGKey(0))
-    jax.block_until_ready(last)
-    reps = 3
+    ps, last = run(ps, jax.random.PRNGKey(0))  # compile + warmup
+    jax.device_get(last["reward"])
+    # NOTE: device_get of a result array is the completion barrier —
+    # block_until_ready through the axon relay reports optimistically.
     t0 = time.perf_counter()
     for i in range(reps):
         ps, last = run(ps, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(last)
+    jax.device_get(last["reward"])
     dt = time.perf_counter() - t0
-    return NUM_ENVS * STEPS * reps / dt
+    return num_envs * steps * reps / dt
 
 
 def main() -> None:
-    fps = bench_cartpole()
+    cartpole = _bench("CartPole-v1", 16384, 1024, 2)
+    print(
+        f"cartpole: {cartpole:,.0f} env-steps/s "
+        f"({cartpole / CARTPOLE_BASELINE:.1f}x north star)",
+        file=sys.stderr,
+    )
+    pong_steps = _bench("Pong-v5", 2048, 256, 6)
+    pong_fps = pong_steps * 4  # frame_skip=4, reference FPS counts frames
+    print(
+        f"pong: {pong_steps:,.0f} env-steps/s = {pong_fps:,.0f} FPS",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
-                "metric": "cartpole_env_steps_per_s",
-                "value": round(fps, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(fps / BASELINE, 3),
+                "metric": "pong_pixel_env_frames_per_s",
+                "value": round(pong_fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(pong_fps / ATARI_BASELINE, 3),
             }
         )
     )

@@ -59,6 +59,7 @@ class PoolState:
     key: jax.Array       # [N] PRNG keys
     elapsed: jax.Array   # [N] int32, steps since episode start
     autoreset: jax.Array  # [N] bool: episode over, reset on next step
+    full_reset: jax.Array  # [N] bool: pending reset must fully restart
 
     @property
     def num_envs(self) -> int:
@@ -154,6 +155,7 @@ class Engine:
             key=keys,
             elapsed=jnp.zeros(self.num_envs, jnp.int32),
             autoreset=jnp.ones(self.num_envs, jnp.bool_),
+            full_reset=jnp.ones(self.num_envs, jnp.bool_),
         )
 
     # -- single-env kernels (vmapped below) --------------------------------
@@ -169,13 +171,14 @@ class Engine:
         key: jax.Array,
         elapsed: jax.Array,
         do_reset: jax.Array,
+        full_reset: jax.Array,
         action: Any,
     ):
         """One env transition with fused auto-reset (both branches + select)."""
         env = self.env
         key, sub = jax.random.split(key)
-        # Reset branch.
-        r_state, r_obs = env.reset_env(sub)
+        # Reset branch (sees the terminal state for continuation semantics).
+        r_state, r_obs = env.reset_env_from(env_state, sub, full_reset)
         # Step branch.
         out = env.step_env(env_state, env.single_action(action), sub)
         new_elapsed = jnp.where(do_reset, 0, elapsed + 1).astype(jnp.int32)
@@ -231,12 +234,14 @@ class Engine:
     ) -> tuple[PoolState, TimeStepDict]:
         """Full-batch lockstep step (sync mode, ``batch_size == num_envs``)."""
         do_reset = ps.autoreset
+        full = ps.full_reset
         if force_reset is not None:
             do_reset = do_reset | force_reset
+            full = full | force_reset
         new_state, key, elapsed, done, obs, common = jax.vmap(self._step_one)(
-            ps.env_state, ps.key, ps.elapsed, do_reset, action
+            ps.env_state, ps.key, ps.elapsed, do_reset, full, action
         )
-        new_ps = PoolState(new_state, key, elapsed, done)
+        new_ps = PoolState(new_state, key, elapsed, done, common["trunc"])
         env_id = jnp.arange(self.num_envs, dtype=jnp.int32)
         return new_ps, self._finish_ts(obs, common, env_id)
 
@@ -255,6 +260,7 @@ class Engine:
             key=_tree_select(mask, r_key, ps.key),
             elapsed=jnp.where(mask, 0, ps.elapsed).astype(jnp.int32),
             autoreset=jnp.where(mask, False, ps.autoreset),
+            full_reset=jnp.where(mask, False, ps.full_reset),
         )
         n = self.num_envs
         zeros_f = jnp.zeros(n, jnp.float32)
@@ -290,15 +296,17 @@ class Engine:
         sub_key = take(ps.key)
         sub_elapsed = take(ps.elapsed)
         sub_reset = take(ps.autoreset)
+        sub_full = take(ps.full_reset)
         new_state, key, elapsed, done, obs, common = jax.vmap(self._step_one)(
-            sub_state, sub_key, sub_elapsed, sub_reset, action
+            sub_state, sub_key, sub_elapsed, sub_reset, sub_full, action
         )
-        scatter = lambda full, rows: full.at[env_id].set(rows)
+        scatter = lambda buf, rows: buf.at[env_id].set(rows)
         new_ps = PoolState(
             env_state=jax.tree_util.tree_map(scatter, ps.env_state, new_state),
             key=scatter(ps.key, key),
             elapsed=scatter(ps.elapsed, elapsed),
             autoreset=scatter(ps.autoreset, done),
+            full_reset=scatter(ps.full_reset, common["trunc"]),
         )
         return new_ps, self._finish_ts(obs, common, env_id.astype(jnp.int32))
 

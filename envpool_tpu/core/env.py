@@ -147,6 +147,21 @@ class TpuEnv:
         """Start a fresh episode: returns (state, obs_dict)."""
         raise NotImplementedError
 
+    def reset_env_from(
+        self, state: Any, key: jax.Array, full: jax.Array
+    ) -> tuple[Any, dict[str, jax.Array]]:
+        """Auto-reset transition, seeing the terminal state.
+
+        Most envs ignore ``state`` and start fresh (the default).  Envs with
+        continuation semantics — e.g. Atari ``episodic_life``, where a life
+        loss ends the *episode* but not the *game*
+        (``envpool/atari/atari_env.h:168-183``) — override this.  ``full``
+        is True when a full restart is required (explicit reset or
+        truncation by ``max_episode_steps``).
+        """
+        del state, full
+        return self.reset_env(key)
+
     def step_env(self, state: Any, action: Any, key: jax.Array) -> EnvOut:
         """Advance one step; never called on a terminated state."""
         raise NotImplementedError

@@ -1,4 +1,5 @@
 """Import all env family registrations (``envpool/entry.py:16-32`` analog)."""
 
+import envpool_tpu.envs.atari.registration  # noqa: F401
 import envpool_tpu.envs.classic_control.registration  # noqa: F401
 import envpool_tpu.envs.toy_text.registration  # noqa: F401

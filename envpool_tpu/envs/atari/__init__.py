@@ -1,0 +1,11 @@
+"""Atari-class pixel env family (on-device arcade emulation).
+
+Reference behavior: ``envpool/atari/atari_env.h`` (ALE on CPU threads).
+Here the games and the full pixel pipeline run on TPU.
+"""
+
+from .arcade_env import ArcadeEnv, ArcadeGame
+from .breakout import BreakoutEnv
+from .pong import PongEnv
+
+__all__ = ["ArcadeEnv", "ArcadeGame", "BreakoutEnv", "PongEnv"]

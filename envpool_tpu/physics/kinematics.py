@@ -1,0 +1,171 @@
+"""Forward kinematics and velocity kinematics (pure JAX, autodiff-friendly).
+
+Design: instead of hand-writing Featherstone spatial-algebra recursions
+(what MuJoCo's C core does), we write only *position* kinematics explicitly
+and derive every velocity/Jacobian via ``jax.jvp``:
+
+  * ``fk(model, q)`` — body rotations/origins + contact-point positions,
+    a small unrolled loop over the kinematic tree (nbody ≤ ~15: negligible).
+  * ``tangent(model, q, qd)`` — maps a generalized velocity to a coordinate
+    tangent ``q̇`` (identity for hinge/slide; quaternion kinematics
+    ``q̇ = ½ q ⊗ [0, ω_body]`` for free joints, matching MuJoCo's
+    convention that free-joint angular velocity lives in the body frame).
+  * body/point velocities = ``jvp(fk, q, tangent(q, qd))``; angular
+    velocity from ``ω̂ = Ṙ Rᵀ``.
+
+Correctness is pinned by oracle tests against real MuJoCo (CPU bindings)
+in ``tests/test_physics.py`` — the same strategy the reference uses for its
+alignment suites (SURVEY.md §4.5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .model import FREE, HINGE, SLIDE, PhysModel
+
+__all__ = ["quat2mat", "fk", "tangent", "body_vel", "integrate_qpos"]
+
+
+def quat2mat(q: jax.Array) -> jax.Array:
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _axis_angle(axis: jax.Array, angle: jax.Array) -> jax.Array:
+    """Rotation matrix about a unit axis (Rodrigues)."""
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    x, y, z = axis[0], axis[1], axis[2]
+    k = jnp.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]])
+    return jnp.eye(3) + s * k + (1 - c) * (k @ k)
+
+
+def _quat_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return jnp.array(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ]
+    )
+
+
+def _joints_of_body(model: PhysModel) -> list[list[int]]:
+    out: list[list[int]] = [[] for _ in range(model.nbody)]
+    for j in range(len(model.jnt_type)):
+        out[int(model.jnt_body[j])].append(j)
+    return out
+
+
+def fk(model: PhysModel, q: jax.Array):
+    """Body world frames: (R [nb,3,3], p [nb,3]).
+
+    Joints of a body apply in model order within the body frame, mirroring
+    MuJoCo ``mj_kinematics``: a hinge rotates the current frame about the
+    axis through its anchor; a slide translates along its axis; a free
+    joint *sets* the frame from qpos.
+    """
+    dtype = q.dtype
+    joints = _joints_of_body(model)
+    Rs = [jnp.eye(3, dtype=dtype)]
+    ps = [jnp.zeros(3, dtype=dtype)]
+    for b in range(1, model.nbody):
+        parent = int(model.body_parent[b])
+        R = Rs[parent] @ quat2mat(jnp.asarray(model.body_quat[b], dtype))
+        p = ps[parent] + Rs[parent] @ jnp.asarray(model.body_pos[b], dtype)
+        for j in joints[b]:
+            jtype = int(model.jnt_type[j])
+            adr = int(model.jnt_qposadr[j])
+            if jtype == FREE:
+                p = q[adr : adr + 3]
+                R = quat2mat(q[adr + 3 : adr + 7])
+            elif jtype == SLIDE:
+                axis_w = R @ jnp.asarray(model.jnt_axis[j], dtype)
+                p = p + axis_w * q[adr]
+            elif jtype == HINGE:
+                axis_w = R @ jnp.asarray(model.jnt_axis[j], dtype)
+                anchor_w = p + R @ jnp.asarray(model.jnt_pos[j], dtype)
+                rot = _axis_angle(axis_w, q[adr])
+                R = rot @ R
+                p = anchor_w + rot @ (p - anchor_w)
+            else:
+                raise NotImplementedError(f"joint type {jtype}")
+        Rs.append(R)
+        ps.append(p)
+    return jnp.stack(Rs), jnp.stack(ps)
+
+
+def tangent(model: PhysModel, q: jax.Array, qd: jax.Array) -> jax.Array:
+    """Coordinate tangent q̇ for generalized velocity qd (nq ≥ nv)."""
+    if model.nq == model.nv:
+        # Only hinge/slide joints: identity.
+        return qd
+    qdot = jnp.zeros_like(q)
+    for j in range(len(model.jnt_type)):
+        jtype = int(model.jnt_type[j])
+        qadr = int(model.jnt_qposadr[j])
+        dadr = int(model.jnt_dofadr[j])
+        if jtype == FREE:
+            qdot = qdot.at[qadr : qadr + 3].set(qd[dadr : dadr + 3])
+            quat = q[qadr + 3 : qadr + 7]
+            omega_body = qd[dadr + 3 : dadr + 6]
+            dq = 0.5 * _quat_mul(
+                quat, jnp.concatenate([jnp.zeros(1, q.dtype), omega_body])
+            )
+            qdot = qdot.at[qadr + 3 : qadr + 7].set(dq)
+        else:
+            qdot = qdot.at[qadr].set(qd[dadr])
+    return qdot
+
+
+def body_vel(model: PhysModel, q: jax.Array, qd: jax.Array):
+    """((R, p), (ω [nb,3], v [nb,3])) — world-frame body twists."""
+    qdot = tangent(model, q, qd)
+    (Rs, ps), (Rds, pds) = jax.jvp(lambda q_: fk(model, q_), (q,), (qdot,))
+    # ω̂ = Ṙ Rᵀ → vee.
+    what = jnp.einsum("bij,bkj->bik", Rds, Rs)
+    omega = jnp.stack(
+        [what[:, 2, 1], what[:, 0, 2], what[:, 1, 0]], axis=-1
+    )
+    return (Rs, ps), (omega, pds)
+
+
+def integrate_qpos(
+    model: PhysModel, q: jax.Array, qd: jax.Array, h: float
+) -> jax.Array:
+    """qpos ← qpos ⊕ h·qd (quaternion joints via exponential map)."""
+    if model.nq == model.nv:
+        return q + h * qd
+    out = q
+    for j in range(len(model.jnt_type)):
+        jtype = int(model.jnt_type[j])
+        qadr = int(model.jnt_qposadr[j])
+        dadr = int(model.jnt_dofadr[j])
+        if jtype == FREE:
+            out = out.at[qadr : qadr + 3].set(
+                q[qadr : qadr + 3] + h * qd[dadr : dadr + 3]
+            )
+            quat = q[qadr + 3 : qadr + 7]
+            omega = qd[dadr + 3 : dadr + 6]
+            angle = jnp.linalg.norm(omega) * h
+            axis = omega / (jnp.linalg.norm(omega) + 1e-12)
+            dq = jnp.concatenate(
+                [jnp.cos(angle / 2)[None], jnp.sin(angle / 2) * axis]
+            )
+            new_quat = _quat_mul(quat, dq)
+            new_quat = new_quat / jnp.linalg.norm(new_quat)
+            out = out.at[qadr + 3 : qadr + 7].set(new_quat)
+        else:
+            out = out.at[qadr].set(q[qadr] + h * qd[dadr])
+    return out

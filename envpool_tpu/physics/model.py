@@ -1,0 +1,184 @@
+"""Physics model: static description extracted from an MJCF model.
+
+The reference steps real MuJoCo on CPU worker threads
+(``envpool/mujoco/gym/mujoco_env.h:45-267``).  The TPU-native engine
+(``envpool_tpu/physics``) re-implements rigid-body dynamics as pure JAX over
+generalized coordinates; this module only *extracts the constants* (masses,
+joint tree, geoms, actuators) from the MJCF XML using the host-side
+``mujoco`` bindings — the simulation itself never calls MuJoCo.
+
+Supported joint types: free (3 translation + quaternion), hinge, slide —
+enough for the Gym locomotion suite.  Contacts are geom-vs-ground-plane
+(sphere and capsule geoms contribute endpoint spheres).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# MuJoCo joint type enum values (mjtJoint).
+FREE, BALL, SLIDE, HINGE = 0, 1, 2, 3
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysModel:
+    """Static (numpy) model constants; hashable by id for jit closures."""
+
+    nq: int
+    nv: int
+    nu: int
+    nbody: int
+
+    # Per body (index 0 is the world).
+    body_parent: np.ndarray    # [nb] int
+    body_pos: np.ndarray       # [nb, 3] frame offset in parent frame
+    body_quat: np.ndarray      # [nb, 4] frame rotation in parent frame
+    body_mass: np.ndarray      # [nb]
+    body_inertia: np.ndarray   # [nb, 3] diagonal inertia in inertial frame
+    body_ipos: np.ndarray      # [nb, 3] CoM offset in body frame
+    body_iquat: np.ndarray     # [nb, 4] inertial frame rotation
+
+    # Per joint, in model order (joints of a body apply in sequence).
+    jnt_type: np.ndarray       # [nj] int
+    jnt_body: np.ndarray       # [nj] body the joint moves
+    jnt_axis: np.ndarray       # [nj, 3]
+    jnt_pos: np.ndarray        # [nj, 3] anchor in body frame
+    jnt_qposadr: np.ndarray    # [nj]
+    jnt_dofadr: np.ndarray     # [nj]
+    jnt_range: np.ndarray      # [nj, 2]
+    jnt_limited: np.ndarray    # [nj] bool
+    jnt_stiffness: np.ndarray  # [nj]
+    qpos_spring: np.ndarray    # [nq] spring reference
+
+    # Per dof.
+    dof_damping: np.ndarray    # [nv]
+    dof_armature: np.ndarray   # [nv]
+
+    # Actuators (motor/general on joints).
+    act_trnid: np.ndarray      # [nu] joint id
+    act_gear: np.ndarray       # [nu]
+    act_ctrlrange: np.ndarray  # [nu, 2]
+    act_ctrllimited: np.ndarray  # [nu] bool
+
+    # Contact geoms vs ground plane: contributing spheres.
+    con_body: np.ndarray       # [nc] body id
+    con_pos: np.ndarray        # [nc, 3] sphere center in body frame
+    con_radius: np.ndarray     # [nc]
+    con_friction: np.ndarray   # [nc] sliding friction coefficient
+
+    # Options.
+    timestep: float
+    gravity: np.ndarray        # [3]
+    qpos0: np.ndarray          # [nq] default pose
+
+    def __hash__(self) -> int:  # jit static-arg friendliness
+        return id(self)
+
+    def __eq__(self, other) -> bool:
+        return self is other
+
+
+def from_mjcf(xml_path: str) -> PhysModel:
+    """Extract a PhysModel from an MJCF file via host-side mujoco."""
+    import mujoco
+
+    m = mujoco.MjModel.from_xml_path(xml_path)
+    return from_mj_model(m)
+
+
+def from_mj_model(m) -> PhysModel:
+    """Extract from a loaded ``mujoco.MjModel``."""
+    import mujoco
+
+    for j in range(m.njnt):
+        if m.jnt_type[j] == BALL:
+            raise NotImplementedError("ball joints not supported yet")
+
+    # Ground-contact spheres from sphere/capsule geoms on moving bodies.
+    con_body, con_pos, con_radius, con_fric = [], [], [], []
+    for g in range(m.ngeom):
+        b = int(m.geom_bodyid[g])
+        if b == 0:
+            continue
+        gtype = int(m.geom_type[g])
+        size = m.geom_size[g]
+        pos = m.geom_pos[g]
+        quat = m.geom_quat[g]
+        fric = float(m.geom_friction[g][0])
+        if gtype == int(mujoco.mjtGeom.mjGEOM_SPHERE):
+            con_body.append(b)
+            con_pos.append(pos.copy())
+            con_radius.append(float(size[0]))
+            con_fric.append(fric)
+        elif gtype == int(mujoco.mjtGeom.mjGEOM_CAPSULE):
+            # Endpoint spheres at ±half-length along the local z axis.
+            half = float(size[1])
+            zdir = _quat_rotate_np(quat, np.array([0.0, 0.0, 1.0]))
+            for sgn in (-1.0, 1.0):
+                con_body.append(b)
+                con_pos.append(pos + sgn * half * zdir)
+                con_radius.append(float(size[0]))
+                con_fric.append(fric)
+        # Boxes/planes/other types: skipped (not needed for the suite).
+
+    act_trnid = (
+        m.actuator_trnid[:, 0].copy()
+        if m.nu
+        else np.zeros(0, np.int32)
+    )
+    act_gear = m.actuator_gear[:, 0].copy() if m.nu else np.zeros(0)
+
+    return PhysModel(
+        nq=int(m.nq),
+        nv=int(m.nv),
+        nu=int(m.nu),
+        nbody=int(m.nbody),
+        body_parent=m.body_parentid.copy(),
+        body_pos=m.body_pos.copy(),
+        body_quat=m.body_quat.copy(),
+        body_mass=m.body_mass.copy(),
+        body_inertia=m.body_inertia.copy(),
+        body_ipos=m.body_ipos.copy(),
+        body_iquat=m.body_iquat.copy(),
+        jnt_type=m.jnt_type.copy(),
+        jnt_body=m.jnt_bodyid.copy(),
+        jnt_axis=m.jnt_axis.copy(),
+        jnt_pos=m.jnt_pos.copy(),
+        jnt_qposadr=m.jnt_qposadr.copy(),
+        jnt_dofadr=m.jnt_dofadr.copy(),
+        jnt_range=m.jnt_range.copy(),
+        jnt_limited=m.jnt_limited.astype(bool).copy(),
+        jnt_stiffness=m.jnt_stiffness.copy(),
+        qpos_spring=m.qpos_spring.copy(),
+        dof_damping=m.dof_damping.copy(),
+        dof_armature=m.dof_armature.copy(),
+        act_trnid=act_trnid,
+        act_gear=act_gear,
+        act_ctrlrange=m.actuator_ctrlrange.copy()
+        if m.nu
+        else np.zeros((0, 2)),
+        act_ctrllimited=m.actuator_ctrllimited.astype(bool).copy()
+        if m.nu
+        else np.zeros(0, bool),
+        con_body=np.asarray(con_body, np.int32),
+        con_pos=np.asarray(con_pos, np.float64).reshape(-1, 3),
+        con_radius=np.asarray(con_radius, np.float64),
+        con_friction=np.asarray(con_fric, np.float64),
+        timestep=float(m.opt.timestep),
+        gravity=m.opt.gravity.copy(),
+        qpos0=m.qpos0.copy(),
+    )
+
+
+def _quat_rotate_np(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    w, x, y, z = q
+    r = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    return r @ v
