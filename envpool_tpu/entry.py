@@ -2,4 +2,6 @@
 
 import envpool_tpu.envs.atari.registration  # noqa: F401
 import envpool_tpu.envs.classic_control.registration  # noqa: F401
+import envpool_tpu.envs.minigrid.registration  # noqa: F401
+import envpool_tpu.envs.mujoco_gym.registration  # noqa: F401
 import envpool_tpu.envs.toy_text.registration  # noqa: F401

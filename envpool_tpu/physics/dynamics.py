@@ -32,7 +32,38 @@ import jax.numpy as jnp
 from .kinematics import body_vel, fk, integrate_qpos, tangent
 from .model import PhysModel
 
-__all__ = ["step", "ContactParams", "mass_matrix", "bias_forces"]
+__all__ = [
+    "step",
+    "forward",
+    "ContactParams",
+    "mass_matrix",
+    "bias_forces",
+    "site_positions",
+    "body_positions",
+]
+
+
+def site_positions(model: PhysModel, q: jax.Array) -> jax.Array:
+    """World positions of all sites: [ns, 3]."""
+    Rs, ps = fk(model, q)
+    if len(model.site_body) == 0:
+        return jnp.zeros((0, 3), q.dtype)
+    sb = jnp.asarray(model.site_body)
+    local = jnp.asarray(model.site_pos, q.dtype)
+    return ps[sb] + jnp.einsum("sij,sj->si", Rs[sb], local)
+
+
+def body_positions(model: PhysModel, q: jax.Array) -> jax.Array:
+    """World positions of body frame origins: [nb, 3]."""
+    _, ps = fk(model, q)
+    return ps
+
+
+def body_com_positions(model: PhysModel, q: jax.Array) -> jax.Array:
+    """World positions of body CoMs (MuJoCo xipos): [nb, 3]."""
+    Rs, ps = fk(model, q)
+    ipos = jnp.asarray(model.body_ipos, q.dtype)
+    return ps + jnp.einsum("bij,bj->bi", Rs, ipos)
 
 
 class ContactParams(NamedTuple):
@@ -123,17 +154,14 @@ def bias_forces(model: PhysModel, q: jax.Array, qd: jax.Array) -> jax.Array:
     return jnp.einsum("bk,ibk->i", f, Jp) + jnp.einsum("bk,ibk->i", t, Jr)
 
 
-def _contact_forces(
-    model: PhysModel, q, qd, params: ContactParams
+def _contact_forces_shared(
+    model: PhysModel, params: ContactParams, centers, v_con, Jc, dtype
 ):
     """Generalized contact force from ground-plane penalty springs."""
     if len(model.con_body) == 0:
-        return jnp.zeros(model.nv, q.dtype)
-    Rs, ps = fk(model, q)
-    centers = _contact_points(model, Rs, ps)           # [nc, 3]
-    radius = jnp.asarray(model.con_radius, q.dtype)
+        return jnp.zeros(model.nv, dtype)
+    radius = jnp.asarray(model.con_radius, dtype)
     pen = radius - centers[:, 2]                       # >0 → penetrating
-    _, _, v_con = _vel_observables(model, q, qd)       # [nc, 3]
     active = pen > 0
     fn = jnp.where(
         active, params.kp * pen - params.kd * v_con[:, 2], 0.0
@@ -141,13 +169,66 @@ def _contact_forces(
     fn = jnp.maximum(fn, 0.0)
     # Smooth Coulomb friction on the tangential velocity.
     vt = v_con[:, :2]
-    mu = jnp.asarray(model.con_friction, q.dtype) * params.mu_scale
+    mu = jnp.asarray(model.con_friction, dtype) * params.mu_scale
     scale = jnp.tanh(jnp.linalg.norm(vt, axis=1) / params.vs)
     vt_dir = vt / (jnp.linalg.norm(vt, axis=1, keepdims=True) + 1e-9)
     ft = -(mu * fn * scale)[:, None] * vt_dir
     forces = jnp.concatenate([ft, fn[:, None]], axis=1)  # [nc, 3]
-    _, _, Jc = _jacobians(model, q)                      # [nv, nc, 3]
     return jnp.einsum("ck,ick->i", forces, Jc)
+
+
+def _fluid_forces(model: PhysModel, q, qd):
+    """Standalone wrapper (tests); the step path uses ``_fluid_shared``."""
+    v_com, omega, _ = _vel_observables(model, q, qd)
+    Rs, _ = fk(model, q)
+    Jp, Jr, _ = _jacobians(model, q)
+    return _fluid_shared(model, v_com, omega, Rs, Jp, Jr)
+
+
+def _fluid_shared(model: PhysModel, v_com, omega, Rs, Jp, Jr):
+    """MuJoCo's legacy inertia-box fluid drag (engine_passive.c semantics).
+
+    Each body is approximated by its equivalent inertia box; quadratic
+    density drag and linear viscous drag act on the 6D velocity of the body
+    at its CoM, expressed in the inertial (ximat) frame.  Verified
+    term-for-term against MuJoCo's ``qfrc_passive`` on the swimmer model.
+    """
+    from .kinematics import quat2mat
+
+    dtype = v_com.dtype
+    iquats = jnp.asarray(model.body_iquat, dtype)
+    Ri = jnp.einsum(
+        "bij,bjk->bik", Rs, jax.vmap(quat2mat)(iquats)
+    )  # ximat: inertial frame in world
+    lin = jnp.einsum("bji,bj->bi", Ri, v_com)   # local linear velocity
+    ang = jnp.einsum("bji,bj->bi", Ri, omega)   # local angular velocity
+
+    inertia = jnp.asarray(model.body_inertia, dtype)
+    mass = jnp.asarray(model.body_mass, dtype)
+    s = inertia.sum(axis=1, keepdims=True) - 2 * inertia
+    box = jnp.sqrt(
+        jnp.maximum(1e-10, s / jnp.maximum(mass[:, None], 1e-12) * 6.0)
+    )  # [nb, 3] full box dims
+
+    f_l = jnp.zeros_like(lin)
+    t_l = jnp.zeros_like(ang)
+    if model.viscosity > 0:
+        diam = box.mean(axis=1, keepdims=True)
+        t_l = t_l - jnp.pi * diam**3 * model.viscosity * ang
+        f_l = f_l - 3 * jnp.pi * diam * model.viscosity * lin
+    if model.density > 0:
+        box1 = jnp.roll(box, -1, axis=1)
+        box2 = jnp.roll(box, -2, axis=1)
+        f_l = f_l - 0.5 * model.density * box1 * box2 * jnp.abs(lin) * lin
+        t_l = t_l - model.density * box * (box1**4 + box2**4) * jnp.abs(
+            ang
+        ) * ang / 64.0
+
+    f_w = jnp.einsum("bij,bj->bi", Ri, f_l)
+    t_w = jnp.einsum("bij,bj->bi", Ri, t_l)
+    return jnp.einsum("bk,ibk->i", f_w, Jp) + jnp.einsum(
+        "bk,ibk->i", t_w, Jr
+    )
 
 
 def _passive_forces(model: PhysModel, q, qd):
@@ -185,7 +266,59 @@ def _actuator_forces(model: PhysModel, ctrl):
     return tau
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
+    """One shared pass: (M, rhs) with every force term computed once.
+
+    All Jacobian-consuming terms (mass matrix, Newton-Euler bias, contacts,
+    fluid drag) reuse a single vmapped-jvp Jacobian stack — this is what
+    keeps both runtime and compiled-program size down.
+    """
+    damping = jnp.asarray(model.dof_damping, q.dtype)
+    qdot = tangent(model, q, qd)
+    (v_com, omega, v_con), (a_com, omega_dot, _) = jax.jvp(
+        lambda q_: _vel_observables(model, q_, qd), (q,), (qdot,)
+    )
+    Rs, ps = fk(model, q)
+    Iw = _world_inertia(model, Rs)
+    Jp, Jr, Jc = _jacobians(model, q)
+    m = jnp.asarray(model.body_mass, q.dtype)
+    # Mass matrix.
+    M = jnp.einsum("b,ibk,jbk->ij", m, Jp, Jp)
+    M = M + jnp.einsum("ibk,bkl,jbl->ij", Jr, Iw, Jr)
+    M = M + jnp.diag(jnp.asarray(model.dof_armature, q.dtype))
+    # Bias (projected Newton-Euler at qdd = 0).
+    g = jnp.asarray(model.gravity, q.dtype)
+    f = m[:, None] * (a_com - g[None, :])
+    Iom = jnp.einsum("bij,bj->bi", Iw, omega)
+    t = jnp.einsum("bij,bj->bi", Iw, omega_dot) + jnp.cross(omega, Iom)
+    c = jnp.einsum("bk,ibk->i", f, Jp) + jnp.einsum("bk,ibk->i", t, Jr)
+    # Applied / passive / contact / fluid.
+    centers = _contact_points(model, Rs, ps)
+    tau = (
+        _actuator_forces(model, ctrl)
+        + _passive_forces(model, q, qd)
+        + _contact_forces_shared(model, contact, centers, v_con, Jc, q.dtype)
+        - c
+        - damping * qd
+    )
+    if model.density > 0 or model.viscosity > 0:
+        tau = tau + _fluid_shared(model, v_com, omega, Rs, Jp, Jr)
+    return M, tau
+
+
+def forward(
+    model: PhysModel,
+    q: jax.Array,
+    qd: jax.Array,
+    ctrl: jax.Array,
+    contact: ContactParams = ContactParams(),
+) -> jax.Array:
+    """Forward dynamics: qacc with explicit damping (for RK4)."""
+    M, tau = _smooth(model, q, qd, ctrl, contact)
+    return jnp.linalg.solve(M, tau)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def step(
     model: PhysModel,
     qpos: jax.Array,
@@ -193,22 +326,21 @@ def step(
     ctrl: jax.Array,
     substeps: int = 1,
     contact: ContactParams = ContactParams(),
+    nsteps: int = 1,
 ):
-    """Advance one model timestep (optionally split into substeps)."""
+    """Advance ``nsteps`` model timesteps, each split into ``substeps``.
+
+    Matches the model's integrator: Euler with implicit joint damping
+    (MuJoCo ``mj_Euler``) or RK4 (``mj_RungeKutta``) — the Gym locomotion
+    XMLs use RK4.  ``nsteps`` is the frame-skip loop (mj_step called
+    repeatedly, ``mujoco_env.h`` MujocoStep); ``substeps`` subdivides the
+    timestep for penalty-contact stability.
+    """
     h = model.timestep / substeps
     damping = jnp.asarray(model.dof_damping, qpos.dtype)
 
-    def sub(_, carry):
-        q, qd = carry
-        M = mass_matrix(model, q)
-        c = bias_forces(model, q, qd)
-        tau = (
-            _actuator_forces(model, ctrl)
-            + _passive_forces(model, q, qd)
-            + _contact_forces(model, q, qd, contact)
-            - c
-            - damping * qd
-        )
+    def euler(q, qd):
+        M, tau = _smooth(model, q, qd, ctrl, contact)
         # Implicit damping: (M + h·D) qacc = rhs.
         M_imp = M + h * jnp.diag(damping)
         qacc = jnp.linalg.solve(M_imp, tau)
@@ -216,5 +348,29 @@ def step(
         q_new = integrate_qpos(model, q, qd_new, h)
         return q_new, qd_new
 
-    qpos, qvel = jax.lax.fori_loop(0, substeps, sub, (qpos, qvel))
+    def rk4(q, qd):
+        a1 = forward(model, q, qd, ctrl, contact)
+        q2 = integrate_qpos(model, q, qd, h / 2)
+        qd2 = qd + (h / 2) * a1
+        a2 = forward(model, q2, qd2, ctrl, contact)
+        q3 = integrate_qpos(model, q, qd2, h / 2)
+        qd3 = qd + (h / 2) * a2
+        a3 = forward(model, q3, qd3, ctrl, contact)
+        q4 = integrate_qpos(model, q, qd3, h)
+        qd4 = qd + h * a3
+        a4 = forward(model, q4, qd4, ctrl, contact)
+        qd_avg = (qd + 2 * qd2 + 2 * qd3 + qd4) / 6
+        qacc = (a1 + 2 * a2 + 2 * a3 + a4) / 6
+        q_new = integrate_qpos(model, q, qd_avg, h)
+        qd_new = qd + h * qacc
+        return q_new, qd_new
+
+    stepper = rk4 if model.integrator == 1 else euler
+
+    def sub(_, carry):
+        return stepper(*carry)
+
+    qpos, qvel = jax.lax.fori_loop(
+        0, nsteps * substeps, sub, (qpos, qvel)
+    )
     return qpos, qvel

@@ -68,10 +68,19 @@ class PhysModel:
     con_radius: np.ndarray     # [nc]
     con_friction: np.ndarray   # [nc] sliding friction coefficient
 
+    # Sites (for fingertip/tip observations).
+    site_body: np.ndarray      # [ns] body id
+    site_pos: np.ndarray       # [ns, 3] offset in body frame
+    site_names: tuple          # [ns] str
+    body_names: tuple          # [nb] str
+
     # Options.
     timestep: float
     gravity: np.ndarray        # [3]
+    density: float             # fluid density (inertia-box drag model)
+    viscosity: float           # fluid viscosity
     qpos0: np.ndarray          # [nq] default pose
+    integrator: int            # 0 = Euler (implicit damping), 1 = RK4
 
     def __hash__(self) -> int:  # jit static-arg friendliness
         return id(self)
@@ -97,10 +106,30 @@ def from_mj_model(m) -> PhysModel:
             raise NotImplementedError("ball joints not supported yet")
 
     # Ground-contact spheres from sphere/capsule geoms on moving bodies.
+    # Contacts exist only against a world-attached plane geom, honoring
+    # contype/conaffinity masks and the global contact-disable flag
+    # (e.g. inverted_pendulum.xml has no floor: no contacts at all).
+    contacts_enabled = not (
+        m.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_CONTACT
+    )
+    planes = [
+        g
+        for g in range(m.ngeom)
+        if m.geom_bodyid[g] == 0
+        and m.geom_type[g] == int(mujoco.mjtGeom.mjGEOM_PLANE)
+    ]
+    plane_contype = int(m.geom_contype[planes[0]]) if planes else 0
+    plane_conaffinity = int(m.geom_conaffinity[planes[0]]) if planes else 0
+
     con_body, con_pos, con_radius, con_fric = [], [], [], []
     for g in range(m.ngeom):
         b = int(m.geom_bodyid[g])
-        if b == 0:
+        if b == 0 or not planes or not contacts_enabled:
+            continue
+        compatible = (int(m.geom_contype[g]) & plane_conaffinity) or (
+            plane_contype & int(m.geom_conaffinity[g])
+        )
+        if not compatible:
             continue
         gtype = int(m.geom_type[g])
         size = m.geom_size[g]
@@ -166,9 +195,18 @@ def from_mj_model(m) -> PhysModel:
         con_pos=np.asarray(con_pos, np.float64).reshape(-1, 3),
         con_radius=np.asarray(con_radius, np.float64),
         con_friction=np.asarray(con_fric, np.float64),
+        site_body=m.site_bodyid.copy()
+        if m.nsite
+        else np.zeros(0, np.int32),
+        site_pos=m.site_pos.copy() if m.nsite else np.zeros((0, 3)),
+        site_names=tuple(m.site(i).name for i in range(m.nsite)),
+        body_names=tuple(m.body(i).name for i in range(m.nbody)),
         timestep=float(m.opt.timestep),
         gravity=m.opt.gravity.copy(),
+        density=float(m.opt.density),
+        viscosity=float(m.opt.viscosity),
         qpos0=m.qpos0.copy(),
+        integrator=int(m.opt.integrator),
     )
 
 

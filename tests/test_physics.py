@@ -1,0 +1,118 @@
+"""Physics engine oracle tests vs real MuJoCo (CPU bindings).
+
+The analog of the reference's alignment suites
+(``mujoco/gym/mujoco_gym_align_test.py:37-100``): step our JAX engine and
+MuJoCo from identical states and compare.  Contact-free models must match
+to float32 precision; contact-rich models (penalty vs LCP solver) get
+behavior-level tolerances.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from envpool_tpu.physics import (  # noqa: E402
+    bias_forces,
+    from_mj_model,
+    mass_matrix,
+    step,
+)
+
+
+def _load(name):
+    import gymnasium
+
+    xml = os.path.join(
+        os.path.dirname(gymnasium.__file__), "envs", "mujoco", "assets", name
+    )
+    m = mujoco.MjModel.from_xml_path(xml)
+    return m, from_mj_model(m)
+
+
+def _rollout_err(name, steps=50, ctrl_scale=0.2, seed=1):
+    m, pm = _load(name)
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(seed)
+    qpos = m.qpos0 + rng.uniform(-0.02, 0.02, m.nq)
+    qvel = rng.uniform(-0.05, 0.05, m.nv)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    q, qd = jnp.asarray(qpos, jnp.float32), jnp.asarray(qvel, jnp.float32)
+    max_err = 0.0
+    for _ in range(steps):
+        ctrl = rng.uniform(-ctrl_scale, ctrl_scale, max(m.nu, 1))[: m.nu]
+        d.ctrl[:] = ctrl
+        mujoco.mj_step(m, d)
+        q, qd = step(pm, q, qd, jnp.asarray(ctrl, jnp.float32))
+        max_err = max(max_err, float(np.abs(np.asarray(q) - d.qpos).max()))
+    return max_err
+
+
+def test_mass_matrix_and_bias_match_mujoco() -> None:
+    m, pm = _load("inverted_pendulum.xml")
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(0)
+    qpos = rng.uniform(-0.1, 0.1, m.nq)
+    qvel = rng.uniform(-0.5, 0.5, m.nv)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    mujoco.mj_forward(m, d)
+    M_ref = np.zeros((m.nv, m.nv))
+    mujoco.mj_fullM(m, d, M_ref)
+    M = np.asarray(mass_matrix(pm, jnp.asarray(qpos)))
+    np.testing.assert_allclose(M, M_ref, rtol=1e-4, atol=1e-6)
+    c = np.asarray(bias_forces(pm, jnp.asarray(qpos), jnp.asarray(qvel)))
+    np.testing.assert_allclose(c, d.qfrc_bias, rtol=1e-4, atol=1e-6)
+
+
+def test_fluid_forces_match_mujoco() -> None:
+    """Inertia-box drag (viscous + density terms) vs qfrc_passive."""
+    from envpool_tpu.physics.dynamics import _fluid_forces
+
+    m, pm = _load("swimmer.xml")
+    d = mujoco.MjData(m)
+    d.qpos[:] = m.qpos0
+    d.qvel[:] = [0.3, 0.1, 0.2, 0.05, -0.1]
+    mujoco.mj_forward(m, d)
+    mine = np.asarray(
+        _fluid_forces(
+            pm, jnp.asarray(d.qpos.copy()), jnp.asarray(d.qvel.copy())
+        )
+    )
+    np.testing.assert_allclose(mine, d.qfrc_passive, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "name,tol",
+    [
+        ("inverted_pendulum.xml", 1e-5),
+        ("reacher.xml", 1e-4),
+        ("inverted_double_pendulum.xml", 1e-5),
+        ("swimmer.xml", 5e-3),  # fluid model: f32 drift over 50 steps
+    ],
+)
+def test_contact_free_alignment(name: str, tol: float) -> None:
+    assert _rollout_err(name) < tol
+
+
+@pytest.mark.parametrize(
+    "name,tol",
+    [
+        ("half_cheetah.xml", 0.2),
+        ("hopper.xml", 0.2),
+    ],
+)
+def test_contact_behavior_alignment(name: str, tol: float) -> None:
+    """Penalty contacts: trajectories stay near MuJoCo for 50 steps."""
+    assert _rollout_err(name) < tol
+
+
+def test_no_spurious_contacts_without_floor() -> None:
+    _, pm = _load("inverted_pendulum.xml")
+    assert len(pm.con_body) == 0
+    _, pm = _load("half_cheetah.xml")
+    assert len(pm.con_body) > 0
