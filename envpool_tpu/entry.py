@@ -1,7 +1,9 @@
 """Import all env family registrations (``envpool/entry.py:16-32`` analog)."""
 
 import envpool_tpu.envs.atari.registration  # noqa: F401
+import envpool_tpu.envs.board.registration  # noqa: F401
 import envpool_tpu.envs.classic_control.registration  # noqa: F401
 import envpool_tpu.envs.minigrid.registration  # noqa: F401
+import envpool_tpu.envs.mujoco_dmc.registration  # noqa: F401
 import envpool_tpu.envs.mujoco_gym.registration  # noqa: F401
 import envpool_tpu.envs.toy_text.registration  # noqa: F401

@@ -1,0 +1,21 @@
+"""dm_control-suite env family over the TPU physics engine."""
+
+from .tasks import (
+    CartpoleEnv,
+    CheetahEnv,
+    DmcReacherEnv,
+    HopperEnv,
+    PendulumEnv,
+    PointMassEnv,
+    WalkerEnv,
+)
+
+__all__ = [
+    "CartpoleEnv",
+    "CheetahEnv",
+    "DmcReacherEnv",
+    "HopperEnv",
+    "PendulumEnv",
+    "PointMassEnv",
+    "WalkerEnv",
+]

@@ -1,0 +1,37 @@
+"""dm_control suite registration (``envpool/mujoco/dmc/registration.py``).
+
+Task ids follow the reference's ``{Domain}{Task}-v1`` scheme.  Scope this
+round: 14 of the reference's 51 suite tasks (the benchmarking core); the
+remaining domains (quadruped, humanoid, fish, swimmer, manipulation) need
+3D/tendon features queued for the next round.
+"""
+
+from ...core.registry import register
+
+_PATH = "envpool_tpu.envs.mujoco_dmc"
+
+_TASKS = [
+    ("PendulumSwingup-v1", "PendulumEnv", "swingup"),
+    ("CartpoleBalance-v1", "CartpoleEnv", "balance"),
+    ("CartpoleBalanceSparse-v1", "CartpoleEnv", "balance_sparse"),
+    ("CartpoleSwingup-v1", "CartpoleEnv", "swingup"),
+    ("CartpoleSwingupSparse-v1", "CartpoleEnv", "swingup_sparse"),
+    ("CheetahRun-v1", "CheetahEnv", "run"),
+    ("WalkerStand-v1", "WalkerEnv", "stand"),
+    ("WalkerWalk-v1", "WalkerEnv", "walk"),
+    ("WalkerRun-v1", "WalkerEnv", "run"),
+    ("HopperStand-v1", "HopperEnv", "stand"),
+    ("HopperHop-v1", "HopperEnv", "hop"),
+    ("ReacherEasy-v1", "DmcReacherEnv", "easy"),
+    ("ReacherHard-v1", "DmcReacherEnv", "hard"),
+    ("PointMassEasy-v1", "PointMassEnv", "easy"),
+]
+
+for task_id, env_cls, task_name in _TASKS:
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls=env_cls,
+        task_name=task_name,
+        max_episode_steps=1000,
+    )

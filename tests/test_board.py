@@ -1,0 +1,96 @@
+"""Board-game family tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import envpool_tpu
+from envpool_tpu.envs.board import Connect4Env, Game2048Env, TicTacToeEnv
+from envpool_tpu.envs.board.game_2048 import _move, _slide_row_left
+
+
+def test_2048_slide_and_merge() -> None:
+    row, rew = _slide_row_left(jnp.asarray([1, 1, 2, 2], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(row), [2, 3, 0, 0])
+    assert float(rew) == 4.0 + 8.0
+    row, rew = _slide_row_left(jnp.asarray([1, 0, 0, 1], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(row), [2, 0, 0, 0])
+    assert float(rew) == 4.0
+    # No double-merge: [2,1,1,0] → [2,2,0,0], not [3,...].
+    row, rew = _slide_row_left(jnp.asarray([2, 1, 1, 0], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(row), [2, 2, 0, 0])
+
+
+def test_2048_directions() -> None:
+    board = jnp.asarray(
+        [[1, 0, 0, 1], [0, 0, 0, 0], [0, 0, 0, 0], [1, 0, 0, 0]], jnp.int32
+    )
+    up, rew = _move(board, jnp.int32(1))
+    assert int(up[0, 0]) == 2  # the two 2s in column 0 merged up
+    assert float(rew) == 4.0
+
+
+def test_2048_pool() -> None:
+    env = envpool_tpu.make("Play2048-v1", env_type="gymnasium", num_envs=8, seed=0)
+    obs, info = env.reset()
+    assert obs.shape == (8, 4, 4)
+    assert ((obs > 0).sum(axis=(1, 2)) == 2).all()  # two spawned tiles
+    rng = np.random.default_rng(0)
+    total = np.zeros(8)
+    for _ in range(50):
+        obs, rew, term, trunc, info = env.step(
+            rng.integers(0, 4, 8).astype(np.int32)
+        )
+        total += rew
+    assert (total > 0).all()  # merges happened
+
+
+def test_tictactoe_win() -> None:
+    env = TicTacToeEnv.from_config(num_envs=1)
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    # p0: 0, p1: 3, p0: 1, p1: 4, p0: 2 → p0 wins top row.
+    for a, expect_done in [(0, False), (3, False), (1, False), (4, False), (2, True)]:
+        out = env.step_env(st, jnp.int32(a), key)
+        st = out.state
+        assert bool(out.terminated) == expect_done
+    assert float(out.reward) == 1.0
+
+
+def test_tictactoe_illegal_move_loses() -> None:
+    env = TicTacToeEnv.from_config(num_envs=1)
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    out = env.step_env(st, jnp.int32(4), key)
+    out = env.step_env(out.state, jnp.int32(4), key)  # occupied!
+    assert bool(out.terminated)
+    assert float(out.reward) == -1.0
+
+
+def test_connect4_vertical_win() -> None:
+    env = Connect4Env.from_config(num_envs=1)
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    # p0 stacks column 0; p1 stacks column 1; p0 wins with 4 in column 0.
+    moves = [0, 1, 0, 1, 0, 1, 0]
+    for i, a in enumerate(moves):
+        out = env.step_env(st, jnp.int32(a), key)
+        st = out.state
+    assert bool(out.terminated)
+    assert float(out.reward) == 1.0
+    # Gravity check: pieces at the bottom.
+    board = np.asarray(st["board"])
+    assert board[5, 0] == 1 and board[5, 1] == 2
+
+
+def test_turn_alternation() -> None:
+    env = envpool_tpu.make(
+        "TicTacToe-v1", env_type="gymnasium", num_envs=2, seed=0
+    )
+    obs, info = env.reset()
+    assert (obs["current_player"] == 0).all()
+    assert obs["board"].shape == (2, 3, 3)
+    obs, rew, term, trunc, info = env.step(np.zeros(2, np.int32))
+    assert (obs["current_player"] == 1).all()
+    assert info["legal_moves"].shape == (2, 9)
+    assert (~info["legal_moves"][:, 0]).all()

