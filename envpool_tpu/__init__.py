@@ -14,6 +14,11 @@ Public surface mirrors ``envpool/__init__.py``: ``make``, ``make_dm``,
 import envpool_tpu.entry  # noqa: F401  (registers all env families)
 from envpool_tpu.core.env import TpuEnv
 from envpool_tpu.core.env_spec import EnvSpec
+from envpool_tpu.core.protocol import (
+    DMEnvPool,
+    EnvPool,
+    GymnasiumEnvPool,
+)
 from envpool_tpu.core.registry import (
     list_all_envs,
     make,
@@ -34,5 +39,8 @@ __all__ = [
     "make_spec",
     "list_all_envs",
     "EnvSpec",
+    "EnvPool",
+    "DMEnvPool",
+    "GymnasiumEnvPool",
     "TpuEnv",
 ]

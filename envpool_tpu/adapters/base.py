@@ -70,6 +70,25 @@ class EnvPoolBase:
 
     # -- action plumbing ---------------------------------------------------
 
+    def _check_action(
+        self, tree: dict[str, jax.Array], env_id: jax.Array | None
+    ) -> None:
+        """One-time dtype/shape validation (``envpool.py:151-172``)."""
+        if getattr(self, "_action_checked", False):
+            return
+        self._action_checked = True
+        batch = self.num_envs if env_id is None else int(env_id.shape[0])
+        mnp = self._env.max_num_players
+        for key, spec in self._env.action_spec().items():
+            arr = tree[key]
+            expect = (batch, *spec.static_shape(mnp))
+            if tuple(arr.shape) != expect:
+                raise ValueError(
+                    f"action[{key!r}] shape {tuple(arr.shape)} != expected "
+                    f"{expect} (num rows must match "
+                    f"{'env_id' if env_id is not None else 'num_envs'})"
+                )
+
     def _from(
         self,
         action: dict[str, Any] | np.ndarray,
@@ -115,6 +134,7 @@ class EnvPoolBase:
     ) -> None:
         """Dispatch one (partial) step; non-blocking."""
         tree, env_id = self._from(action, env_id)
+        self._check_action(tree, env_id)
         if env_id is None and not self.is_async:
             self._state, ts = self._engine.step(self._state, tree)
         else:
@@ -180,6 +200,57 @@ class EnvPoolBase:
 
     def close(self, **kwargs: Any) -> None:
         del kwargs
+
+    # -- render ------------------------------------------------------------
+
+    def render(self, env_id: np.ndarray | None = None) -> np.ndarray:
+        """Batched RGB frames ``[B, H, W, 3] uint8``.
+
+        The analog of ``AsyncEnvPool::Render``
+        (``core/async_envpool.h:183-222``) — but rasterized on device by a
+        vmapped pure function instead of serial host loops.
+        """
+        if env_id is None:
+            env_id = self.all_env_ids
+        env_id = jnp.asarray(np.asarray(env_id, dtype=np.int32))
+        if not hasattr(self, "_render_fn"):
+            self._render_fn = jax.jit(
+                lambda states, ids: jax.vmap(self._env.render_state)(
+                    jax.tree_util.tree_map(
+                        lambda x: jnp.take(x, ids, axis=0), states
+                    )
+                )
+            )
+        frames = self._render_fn(self._state.env_state, env_id)
+        return np.asarray(jax.device_get(frames))
+
+    # -- checkpoint / resume -----------------------------------------------
+    #
+    # Absent in the reference (SURVEY.md §5: env state lives in C++
+    # objects).  Here the pool state is a pytree in HBM, so checkpointing
+    # falls out for free.
+
+    def save_state(self, path: str) -> None:
+        """Snapshot the full pool state (all envs) to an .npz file."""
+        leaves, treedef = jax.tree_util.tree_flatten(self._state)
+        arrs = jax.device_get(leaves)
+        np.savez(
+            path, *arrs, __treedef__=np.frombuffer(
+                repr(treedef).encode(), dtype=np.uint8
+            )
+        )
+
+    def load_state(self, path: str) -> None:
+        """Restore a snapshot taken by :meth:`save_state`."""
+        with np.load(path) as data:
+            leaves = [
+                data[f"arr_{i}"] for i in range(len(data.files) - 1)
+            ]
+        _, treedef = jax.tree_util.tree_flatten(self._state)
+        self._state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(a) for a in leaves]
+        )
+        self._recv_queue.clear()
 
     # -- functional escape hatch -------------------------------------------
 

@@ -166,6 +166,16 @@ class TpuEnv:
         """Advance one step; never called on a terminated state."""
         raise NotImplementedError
 
+    # -- optional rendering (RenderableEnv analog, core/env.h:30-38) -------
+
+    render_size: tuple[int, int] | None = None  # (height, width) or None
+
+    def render_state(self, state: Any) -> jax.Array:
+        """Device-side rasterization of one env state → [H, W, 3] uint8."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support render"
+        )
+
     # -- helpers -----------------------------------------------------------
 
     @classmethod

@@ -171,6 +171,18 @@ class ArcadeEnv(TpuEnv):
             "info:ram": self.game.ram(g),
         }
 
+    # -- render ------------------------------------------------------------
+
+    render_size = (RAW_H, RAW_W)
+
+    def render_state(self, state):
+        """Raw-resolution RGB frame of the current game state (HWC uint8)."""
+        rgb = self.game.render_rgb(state["game"])  # [3, H, W] float32
+        return (
+            jnp.clip(jnp.round(jnp.transpose(rgb, (1, 2, 0))), 0, 255)
+            .astype(jnp.uint8)
+        )
+
     # -- reset -------------------------------------------------------------
 
     def reset_env(self, key):

@@ -1,0 +1,27 @@
+"""Box2D registration (``envpool/box2d/registration.py`` subset).
+
+BipedalWalker and CarRacing require articulated/wheel physics queued for
+the next round.
+"""
+
+from ...core.registry import register
+
+_PATH = "envpool_tpu.envs.box2d"
+
+for version in ("v2", "v3"):
+    register(
+        task_id=f"LunarLander-{version}",
+        import_path=_PATH,
+        env_cls="LunarLanderEnv",
+        continuous=False,
+        max_episode_steps=1000,
+        reward_threshold=200.0,
+    )
+    register(
+        task_id=f"LunarLanderContinuous-{version}",
+        import_path=_PATH,
+        env_cls="LunarLanderEnv",
+        continuous=True,
+        max_episode_steps=1000,
+        reward_threshold=200.0,
+    )

@@ -79,3 +79,20 @@ def test_batched_resize() -> None:
     assert out.shape == (8, 84, 84)
     single = np.asarray(resize_area(imgs[3], (84, 84), np.uint8))
     np.testing.assert_array_equal(out[3], single)
+
+
+def test_pallas_fused_pool_resize_interpret() -> None:
+    """Pallas kernel (interpret mode on CPU) == XLA path, bit exact."""
+    import jax.numpy as jnp
+
+    from envpool_tpu.ops.pallas_image import fused_pool_resize
+
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(
+        rng.uniform(0, 255, (4, 2, 210, 160)).astype(np.float32)
+    )
+    out = np.asarray(fused_pool_resize(frames, (84, 84), interpret=True))
+    ref = np.asarray(
+        resize_area(maxpool2(frames[:, 0], frames[:, 1]), (84, 84), np.uint8)
+    )
+    np.testing.assert_array_equal(out, ref)
