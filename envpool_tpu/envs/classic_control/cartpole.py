@@ -89,3 +89,46 @@ class CartPoleEnv(TpuEnv):
             reward=jnp.float32(1.0),
             terminated=terminated,
         )
+
+    # -- rendering (reference: render_utils RenderCartPole, 600x400) -------
+
+    render_size = (400, 600)
+
+    def render_state(self, state):
+        h, w = self.render_size
+        x, theta = state[0], state[2]
+        scale = w / (2 * 2.4 * 2)
+        cart_x = w / 2 + x * scale
+        cart_y = h * 0.75
+        rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        frame = jnp.full((h, w, 3), 255, jnp.uint8)
+        # Track.
+        track = (rows >= cart_y + 14) & (rows <= cart_y + 16)
+        # Cart 50x30.
+        cart = (
+            (jnp.abs(cols - cart_x) <= 25)
+            & (rows >= cart_y - 15)
+            & (rows <= cart_y + 15)
+        )
+        # Pole: rotate pixels into the pole frame (length 100, width 10).
+        dx = cols - cart_x
+        dy = cart_y - 15 - rows  # up is positive
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        along = dx * st + dy * ct
+        across = dx * ct - dy * st
+        pole = (along >= 0) & (along <= 100) & (jnp.abs(across) <= 5)
+        color = jnp.where(
+            pole[..., None],
+            jnp.asarray([202, 152, 101], jnp.uint8),
+            frame,
+        )
+        color = jnp.where(
+            cart[..., None], jnp.asarray([0, 0, 0], jnp.uint8), color
+        )
+        color = jnp.where(
+            (track & ~cart)[..., None],
+            jnp.asarray([0, 0, 0], jnp.uint8),
+            color,
+        )
+        return color

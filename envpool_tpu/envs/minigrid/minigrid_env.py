@@ -200,6 +200,44 @@ class MiniGridEnv(TpuEnv):
         grid = mg.set_cell(grid, w - 2, h - 2, mg.GOAL, mg.GREEN)
         return grid, jnp.asarray([1, 1], jnp.int32), jnp.int32(0)
 
+    # -- rendering ---------------------------------------------------------
+
+    _TILE = 8  # pixels per cell
+
+    @property
+    def render_size(self):
+        w, h = self._wh
+        return (h * self._TILE, w * self._TILE)
+
+    def render_state(self, state):
+        """Flat-color tile render (agent = red cell with direction notch)."""
+        from . import core as mg_core
+
+        palette = jnp.asarray(
+            [
+                [0, 0, 0],        # unseen
+                [0, 0, 0],        # empty → black floor
+                [100, 100, 100],  # wall
+                [40, 40, 40],     # floor
+                [200, 150, 0],    # door
+                [220, 220, 0],    # key
+                [0, 0, 220],      # ball
+                [120, 80, 30],    # box
+                [0, 200, 0],      # goal
+                [255, 80, 0],     # lava
+                [255, 0, 0],      # agent
+            ],
+            jnp.uint8,
+        )
+        grid = state["grid"]
+        obj = grid[:, :, 0].astype(jnp.int32)
+        # Put the agent marker on its cell.
+        ax, ay = state["pos"][0], state["pos"][1]
+        obj = obj.at[ay, ax].set(mg_core.AGENT)
+        colors = palette[obj]  # [H, W, 3]
+        t = self._TILE
+        return jnp.repeat(jnp.repeat(colors, t, axis=0), t, axis=1)
+
     # -- env contract ------------------------------------------------------
 
     def _obs(self, st):
