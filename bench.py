@@ -56,11 +56,49 @@ def _bench(task: str, num_envs: int, steps: int, n_actions: int, reps: int = 3):
     return num_envs * steps * reps / dt
 
 
+def _bench_continuous(task: str, num_envs: int, steps: int, act_dim: int,
+                      reps: int = 2, **kwargs):
+    import envpool_tpu
+    from envpool_tpu.core.engine import Engine
+
+    env = envpool_tpu.make_spec(
+        task, num_envs=num_envs, seed=0, **kwargs
+    ).env
+    engine = Engine.shared(env)
+
+    def policy(ts, key):
+        return {
+            "action": jax.random.uniform(
+                key, (num_envs, act_dim), jnp.float32, -1, 1
+            )
+        }
+
+    run = engine.make_rollout(policy, steps, collect=False)
+    ps = engine.init()
+    ps, last = run(ps, jax.random.PRNGKey(0))
+    jax.device_get(last["reward"])
+    t0 = time.perf_counter()
+    for i in range(reps):
+        ps, last = run(ps, jax.random.PRNGKey(i + 1))
+    jax.device_get(last["reward"])
+    return num_envs * steps * reps / (time.perf_counter() - t0)
+
+
 def main() -> None:
     cartpole = _bench("CartPole-v1", 16384, 1024, 2)
     print(
         f"cartpole: {cartpole:,.0f} env-steps/s "
         f"({cartpole / CARTPOLE_BASELINE:.1f}x north star)",
+        file=sys.stderr,
+    )
+    cheetah = _bench_continuous("HalfCheetah-v4", 4096, 128, 6)
+    cheetah_fast = _bench_continuous(
+        "HalfCheetah-v4", 4096, 128, 6, integrator="euler"
+    )
+    print(
+        f"halfcheetah(RK4 faithful): {cheetah:,.0f} env-steps/s = "
+        f"{cheetah * 5:,.0f} FPS | euler fast: {cheetah_fast:,.0f} steps/s"
+        f" = {cheetah_fast * 5:,.0f} FPS (ref TPU-VM async 887,540 FPS)",
         file=sys.stderr,
     )
     pong_steps = _bench("Pong-v5", 2048, 256, 6)

@@ -55,6 +55,16 @@ class MujocoGymEnv(TpuEnv):
     def __init__(self, config):
         super().__init__(config)
         self.model = _load_model(config["xml_file"] or self.XML)
+        integ = str(config["integrator"])
+        if integ != "model":
+            # Fast mode: Euler with implicit damping (the MJX/Brax
+            # tradeoff) is ~10x cheaper than the XML's RK4; "model" keeps
+            # the MuJoCo-faithful integrator.
+            import dataclasses as _dc
+
+            self.model = _dc.replace(
+                self.model, integrator={"euler": 0, "rk4": 1}[integ]
+            )
         self.frame_skip = int(config["frame_skip"])
         self.dt = self.model.timestep * self.frame_skip
         self.contact = ContactParams(
@@ -78,6 +88,7 @@ class MujocoGymEnv(TpuEnv):
             "substeps": 1,
             "contact_kp": 1.0e4,
             "contact_kd": 1.0e2,
+            "integrator": "model",  # "model" (faithful) | "euler" | "rk4"
         }
         base.update(cls.EXTRA_CONFIG)
         merged = dict(base)
