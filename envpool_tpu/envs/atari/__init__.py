@@ -6,6 +6,7 @@ Here the games and the full pixel pipeline run on TPU.
 
 from .arcade_env import ArcadeEnv, ArcadeGame
 from .breakout import BreakoutEnv
+from .freeway import FreewayEnv
 from .pong import PongEnv
 
-__all__ = ["ArcadeEnv", "ArcadeGame", "BreakoutEnv", "PongEnv"]
+__all__ = ["ArcadeEnv", "ArcadeGame", "BreakoutEnv", "FreewayEnv", "PongEnv"]

@@ -25,3 +25,11 @@ register(
     max_episode_steps=27000,
     task="breakout",
 )
+
+register(
+    task_id="Freeway-v5",
+    import_path=_PATH,
+    env_cls="FreewayEnv",
+    max_episode_steps=27000,
+    task="freeway",
+)

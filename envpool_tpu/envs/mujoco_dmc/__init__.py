@@ -2,6 +2,7 @@
 
 from .tasks import (
     CartpoleEnv,
+    DmcAcrobotEnv,
     CheetahEnv,
     DmcReacherEnv,
     HopperEnv,
@@ -12,6 +13,7 @@ from .tasks import (
 
 __all__ = [
     "CartpoleEnv",
+    "DmcAcrobotEnv",
     "CheetahEnv",
     "DmcReacherEnv",
     "HopperEnv",

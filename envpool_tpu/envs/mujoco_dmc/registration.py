@@ -11,6 +11,8 @@ from ...core.registry import register
 _PATH = "envpool_tpu.envs.mujoco_dmc"
 
 _TASKS = [
+    ("AcrobotSwingup-v1", "DmcAcrobotEnv", "swingup"),
+    ("AcrobotSwingupSparse-v1", "DmcAcrobotEnv", "swingup_sparse"),
     ("PendulumSwingup-v1", "PendulumEnv", "swingup"),
     ("CartpoleBalance-v1", "CartpoleEnv", "balance"),
     ("CartpoleBalanceSparse-v1", "CartpoleEnv", "balance_sparse"),

@@ -16,6 +16,7 @@ import numpy as np
 
 from ...physics.dynamics import step as phys_step
 from . import rewards
+from ...physics.dynamics import site_positions
 from .base import DmcEnv
 
 _COSINE_BOUND = np.cos(np.deg2rad(8))  # pendulum.py
@@ -325,6 +326,51 @@ class DmcReacherEnv(DmcEnv):
         radius = self._SIZES[self.task]
         dist = jnp.linalg.norm(self._finger_to_target(qpos, extras))
         return rewards.tolerance(dist, (0, radius), margin=radius)
+
+
+class DmcAcrobotEnv(DmcEnv):
+    """acrobot:{swingup,swingup_sparse}."""
+
+    DOMAIN = "acrobot"
+
+    def init_state(self, key):
+        k1, k2 = jax.random.split(key)
+        qpos = jnp.asarray(self.model.qpos0, jnp.float32)
+        qpos = qpos.at[0].set(
+            jax.random.uniform(k1, (), jnp.float32, -jnp.pi, jnp.pi)
+        )
+        qpos = qpos.at[1].set(
+            jax.random.uniform(k2, (), jnp.float32, -jnp.pi, jnp.pi)
+        )
+        return qpos, jnp.zeros(self.model.nv, jnp.float32), {}
+
+    def _arms(self, qpos):
+        Rs = self.xmat(qpos)
+        upper = self.body_index("upper_arm")
+        lower = self.body_index("lower_arm")
+        return Rs[upper], Rs[lower]
+
+    def observe_dmc(self, qpos, qvel, extras):
+        ru, rl = self._arms(qpos)
+        orientations = jnp.stack(
+            [ru[0, 2], rl[0, 2], ru[2, 2], rl[2, 2]]
+        )
+        return {"orientations": orientations, "velocity": qvel}
+
+    def _to_target(self, qpos):
+        tip = self.model.site_names.index("tip")
+        target = self.model.site_names.index("target")
+        sp = site_positions(self.model, qpos)
+        return jnp.linalg.norm(sp[target] - sp[tip])
+
+    def reward_dmc(self, qpos, qvel, action, extras):
+        # target site radius from the model (site_size not extracted;
+        # acrobot.xml target size = 0.1).
+        radius = 0.1
+        margin = 0.0 if self.task.endswith("sparse") else 1.0
+        return rewards.tolerance(
+            self._to_target(qpos), bounds=(0, radius), margin=margin
+        )
 
 
 class PointMassEnv(DmcEnv):

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .kinematics import body_vel, fk, integrate_qpos, tangent
+from .linalg import spd_solve
 from .model import PhysModel
 
 __all__ = [
@@ -315,7 +316,7 @@ def forward(
 ) -> jax.Array:
     """Forward dynamics: qacc with explicit damping (for RK4)."""
     M, tau = _smooth(model, q, qd, ctrl, contact)
-    return jnp.linalg.solve(M, tau)
+    return spd_solve(M, tau)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
@@ -343,7 +344,7 @@ def step(
         M, tau = _smooth(model, q, qd, ctrl, contact)
         # Implicit damping: (M + h·D) qacc = rhs.
         M_imp = M + h * jnp.diag(damping)
-        qacc = jnp.linalg.solve(M_imp, tau)
+        qacc = spd_solve(M_imp, tau)
         qd_new = qd + h * qacc
         q_new = integrate_qpos(model, q, qd_new, h)
         return q_new, qd_new
