@@ -99,6 +99,7 @@ class EnvPoolBase:
         Accepts a bare array for single-key action specs or a (possibly
         nested via ``.``) dict, mirroring ``envpool.py:174-208``.
         """
+        players = self._env.max_num_players
         if isinstance(action, dict):
             flat: dict[str, Any] = {}
             for k, v in action.items():
@@ -111,7 +112,20 @@ class EnvPoolBase:
             for k in self._action_keys:
                 if k not in flat:
                     raise KeyError(f"missing action key {k!r}")
-                tree[k] = jnp.asarray(flat[k])
+                arr = jnp.asarray(flat[k])
+                spec = self._env.action_spec()[k]
+                if players > 1 and spec.per_player:
+                    # Per-player rows arrive flattened [B*P, ...] in player
+                    # order (reference: contiguous players.env_id rows,
+                    # envpool.py:123-149); fold into [B, P, ...].
+                    rows = arr.shape[0]
+                    if rows % players == 0 and (
+                        arr.ndim < 2 or arr.shape[1] != players
+                    ):
+                        arr = arr.reshape(
+                            rows // players, players, *arr.shape[1:]
+                        )
+                tree[k] = arr
         else:
             if len(self._action_keys) != 1:
                 raise ValueError(
@@ -120,6 +134,12 @@ class EnvPoolBase:
                 )
             arr = jnp.asarray(action)
             spec = self._env.action_spec()[self._action_keys[0]]
+            if players > 1 and spec.per_player:
+                rows = arr.shape[0]
+                if rows % players == 0 and (
+                    arr.ndim < 2 or arr.shape[1] != players
+                ):
+                    arr = arr.reshape(rows // players, players, *arr.shape[1:])
             tree = {self._action_keys[0]: arr.astype(spec.dtype)}
         if env_id is not None:
             env_id = jnp.asarray(np.asarray(env_id, dtype=np.int32))

@@ -218,9 +218,16 @@ class Engine:
     def _finish_ts(
         self, obs: dict, common: dict, env_id: jax.Array
     ) -> TimeStepDict:
+        players = self.env.max_num_players
+        env_id = env_id.astype(jnp.int32)
+        players_env_id = (
+            jnp.broadcast_to(env_id[:, None], (env_id.shape[0], players))
+            if players > 1
+            else env_id
+        )
         ts: TimeStepDict = {
-            "info:env_id": env_id.astype(jnp.int32),
-            "info:players.env_id": env_id.astype(jnp.int32),
+            "info:env_id": env_id,
+            "info:players.env_id": players_env_id,
         }
         ts.update(common)
         ts.update(obs)

@@ -34,6 +34,13 @@ class TicTacToeEnv(TpuEnv):
         }
 
     def action_spec(self):
+        if self.max_num_players > 1:
+            # EnvPool multi-player protocol: one action row per player
+            # (leading -1 = player axis); the env consumes the current
+            # player's row.
+            return {
+                "action": ArraySpec(jnp.int32, (-1,), 0, 8, is_discrete=True)
+            }
         return {"action": ArraySpec(jnp.int32, (), 0, 8, is_discrete=True)}
 
     def _obs(self, board, player):
@@ -58,6 +65,8 @@ class TicTacToeEnv(TpuEnv):
 
     def step_env(self, state, action, key):
         board, player = state["board"], state["player"]
+        if self.max_num_players > 1:
+            action = action[player]
         r, c = action // 3, action % 3
         legal = board[r, c] == 0
         mark = player + 1
@@ -67,9 +76,10 @@ class TicTacToeEnv(TpuEnv):
         won = self._wins(new_board, mark)
         draw = (new_board != 0).all() & ~won
         terminated = won | draw | ~legal
-        reward = jnp.where(
+        mover_reward = jnp.where(
             ~legal, -1.0, jnp.where(won, 1.0, 0.0)
         ).astype(jnp.float32)
+        reward = _per_player_reward(self, mover_reward, player, terminated)
         next_player = jnp.where(terminated, player, 1 - player)
         st = {"board": new_board, "player": next_player}
         return EnvOut(
@@ -78,6 +88,24 @@ class TicTacToeEnv(TpuEnv):
             reward=reward,
             terminated=terminated,
         )
+
+
+def _per_player_reward(env, mover_reward, player, terminated):
+    """Single-row reward (pgx style) or [P] rows (EnvPool protocol).
+
+    In multi-player mode the loser gets the negated terminal reward
+    (zero-sum), matching the reference's per-player reward rows.
+    """
+    if env.max_num_players <= 1:
+        return mover_reward
+    p = env.max_num_players
+    rewards = jnp.zeros(p, jnp.float32)
+    rewards = rewards.at[player].set(mover_reward)
+    other = 1 - player
+    rewards = rewards.at[other].set(
+        jnp.where(terminated, -mover_reward, 0.0)
+    )
+    return rewards
 
 
 class Connect4Env(TpuEnv):
@@ -95,6 +123,10 @@ class Connect4Env(TpuEnv):
         }
 
     def action_spec(self):
+        if self.max_num_players > 1:
+            return {
+                "action": ArraySpec(jnp.int32, (-1,), 0, 6, is_discrete=True)
+            }
         return {"action": ArraySpec(jnp.int32, (), 0, 6, is_discrete=True)}
 
     def _obs(self, board, player):
@@ -124,6 +156,8 @@ class Connect4Env(TpuEnv):
 
     def step_env(self, state, action, key):
         board, player = state["board"], state["player"]
+        if self.max_num_players > 1:
+            action = action[player]
         col = board[:, action]
         legal = col[0] == 0
         # Lowest empty row in this column.
@@ -136,9 +170,10 @@ class Connect4Env(TpuEnv):
         won = self._wins(new_board, mark)
         draw = (new_board != 0).all() & ~won
         terminated = won | draw | ~legal
-        reward = jnp.where(
+        mover_reward = jnp.where(
             ~legal, -1.0, jnp.where(won, 1.0, 0.0)
         ).astype(jnp.float32)
+        reward = _per_player_reward(self, mover_reward, player, terminated)
         next_player = jnp.where(terminated, player, 1 - player)
         st = {"board": new_board, "player": next_player}
         return EnvOut(

@@ -94,3 +94,29 @@ def test_turn_alternation() -> None:
     assert (obs["current_player"] == 1).all()
     assert info["legal_moves"].shape == (2, 9)
     assert (~info["legal_moves"][:, 0]).all()
+
+
+def test_multiplayer_protocol() -> None:
+    """EnvPool per-player action rows + per-player reward rows."""
+    env = envpool_tpu.make(
+        "TicTacToe-v1", env_type="gymnasium", num_envs=2, seed=0,
+        max_num_players=2,
+    )
+    obs, info = env.reset()
+    np.testing.assert_array_equal(
+        info["players"]["env_id"], [[0, 0], [1, 1]]
+    )
+    # Scripted win for player 0 (actions given as [B, P] rows).
+    for a0, a1 in [(0, 3), (3, 4), (1, 5), (4, 6), (2, 7)]:
+        acts = np.array([[a0, a1]] * 2, np.int32)
+        obs, rew, term, trunc, info = env.step(acts)
+    assert term.all()
+    np.testing.assert_array_equal(rew, [[1.0, -1.0], [1.0, -1.0]])
+    # Flattened [B*P] rows fold automatically.
+    env2 = envpool_tpu.make(
+        "ConnectFour-v1", env_type="gymnasium", num_envs=2, seed=0,
+        max_num_players=2,
+    )
+    env2.reset()
+    obs, rew, term, trunc, info = env2.step(np.array([0, 1, 0, 1], np.int32))
+    assert np.asarray(rew).shape == (2, 2)
