@@ -167,6 +167,12 @@ class EnvPoolBase:
 
     def recv(self, reset: bool = False, return_info: bool = True) -> Any:
         """Return the oldest dispatched batch (blocks on device transfer)."""
+        if not self._recv_queue:
+            raise RuntimeError(
+                "recv() called with no pending batch — call send() or "
+                "async_reset() first (reference semantics: every recv is "
+                "paired with a prior send)."
+            )
         ts = self._recv_queue.popleft()
         return self._to(self._materialize(ts), reset, return_info)
 

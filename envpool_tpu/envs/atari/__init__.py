@@ -8,5 +8,6 @@ from .arcade_env import ArcadeEnv, ArcadeGame
 from .breakout import BreakoutEnv
 from .freeway import FreewayEnv
 from .pong import PongEnv
+from .space_invaders import SpaceInvadersEnv
 
-__all__ = ["ArcadeEnv", "ArcadeGame", "BreakoutEnv", "FreewayEnv", "PongEnv"]
+__all__ = ["ArcadeEnv", "ArcadeGame", "BreakoutEnv", "FreewayEnv", "PongEnv", "SpaceInvadersEnv"]

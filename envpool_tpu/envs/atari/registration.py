@@ -33,3 +33,11 @@ register(
     max_episode_steps=27000,
     task="freeway",
 )
+
+register(
+    task_id="SpaceInvaders-v5",
+    import_path=_PATH,
+    env_cls="SpaceInvadersEnv",
+    max_episode_steps=27000,
+    task="space_invaders",
+)

@@ -2,6 +2,7 @@
 
 from .transforms import (
     FrameStack,
+    NormalizeObs,
     RewardClip,
     TransformObservation,
     TransformReward,
@@ -10,6 +11,7 @@ from .transforms import (
 
 __all__ = [
     "FrameStack",
+    "NormalizeObs",
     "RewardClip",
     "TransformObservation",
     "TransformReward",

@@ -147,6 +147,79 @@ class RewardClip(TransformReward):
         return out
 
 
+class NormalizeObs(Wrapper):
+    """Running observation normalization (Welford, carried in env state).
+
+    Stats are tracked **per env** (each env's stream normalizes itself);
+    under the usual i.i.d. env batch the per-env statistics converge to the
+    same values as a shared accumulator.  ``epsilon`` and clipping follow
+    the common gym NormalizeObservation semantics.
+    """
+
+    def __init__(
+        self,
+        inner: TpuEnv,
+        obs_key: str = "obs",
+        epsilon: float = 1e-8,
+        clip: float = 10.0,
+    ):
+        super().__init__(inner)
+        self.obs_key = obs_key
+        self.epsilon = epsilon
+        self.clip = clip
+
+    def _norm(self, stats, obs):
+        count, mean, m2 = stats
+        count = count + 1.0
+        delta = obs - mean
+        mean = mean + delta / count
+        m2 = m2 + delta * (obs - mean)
+        var = m2 / jnp.maximum(count - 1.0, 1.0)
+        normed = jnp.clip(
+            (obs - mean) / jnp.sqrt(var + self.epsilon),
+            -self.clip,
+            self.clip,
+        )
+        return (count, mean, m2), normed
+
+    def reset_env(self, key):
+        state, obs = self.inner.reset_env(key)
+        raw = obs[self.obs_key]
+        stats = (
+            jnp.float32(0.0),
+            jnp.zeros_like(raw),
+            jnp.zeros_like(raw),
+        )
+        stats, normed = self._norm(stats, raw)
+        new_obs = dict(obs)
+        new_obs[self.obs_key] = normed
+        return {"inner": state, "stats": stats}, new_obs
+
+    def reset_env_from(self, state, key, full):
+        inner_state, obs = self.inner.reset_env_from(
+            state["inner"], key, full
+        )
+        # Keep running stats across episodes (gym semantics).
+        stats, normed = self._norm(state["stats"], obs[self.obs_key])
+        new_obs = dict(obs)
+        new_obs[self.obs_key] = normed
+        return {"inner": inner_state, "stats": stats}, new_obs
+
+    def step_env(self, state, action, key):
+        out = self.inner.step_env(state["inner"], action, key)
+        stats, normed = self._norm(state["stats"], out.obs[self.obs_key])
+        new_obs = dict(out.obs)
+        new_obs[self.obs_key] = normed
+        return EnvOut(
+            state={"inner": out.state, "stats": stats},
+            obs=new_obs,
+            reward=out.reward,
+            terminated=out.terminated,
+            discount=out.discount,
+            truncated=out.truncated,
+        )
+
+
 class TransformObservation(Wrapper):
     """Apply ``fn`` to one obs key (spec must be supplied if shape changes)."""
 

@@ -48,3 +48,20 @@ def test_transform_observation() -> None:
     ps = engine.init()
     ps, ts = engine.reset(ps, jnp.ones(2, jnp.bool_))
     assert np.abs(np.asarray(ts["obs"])).max() <= 0.1  # 2 * 0.05
+
+
+def test_normalize_obs_converges() -> None:
+    from envpool_tpu.wrappers import NormalizeObs
+
+    env = NormalizeObs(PendulumEnv.from_config(num_envs=4))
+    engine = Engine(env)
+    ps = engine.init()
+    ps, ts = engine.reset(ps, jnp.ones(4, jnp.bool_))
+    for _ in range(50):
+        ps, ts = engine.step(
+            ps, {"action": jnp.zeros((4, 1), jnp.float32)}
+        )
+    obs = np.asarray(ts["obs"])
+    assert np.abs(obs).max() <= 10.0  # clipped
+    # After 50 steps the normalized obs should be O(1), not raw scale.
+    assert np.abs(obs).mean() < 3.0
