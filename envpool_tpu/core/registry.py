@@ -93,6 +93,16 @@ class EnvRegistry:
             raise ValueError(
                 f"env_type {env_type} is not in ['dm', 'gym', 'gymnasium']"
             )
+        # Host-runtime pools (native C++ executor) construct themselves.
+        import_path, env_cls, default_kwargs = self.specs[task_id] if (
+            task_id in self.specs
+        ) else (None, None, None)
+        if import_path is not None:
+            module = importlib.import_module(import_path)
+            cls = getattr(module, env_cls)
+            if hasattr(cls, "make_pool"):
+                merged = {**default_kwargs, **kwargs}
+                return cls.make_pool(env_type, **merged)
         spec = self.make_spec(task_id, **kwargs)
         if env_type == "dm":
             from ..adapters.dm_adapter import DMEnvPool

@@ -9,3 +9,11 @@ import envpool_tpu.envs.minigrid.registration  # noqa: F401
 import envpool_tpu.envs.mujoco_dmc.registration  # noqa: F401
 import envpool_tpu.envs.mujoco_gym.registration  # noqa: F401
 import envpool_tpu.envs.toy_text.registration  # noqa: F401
+from envpool_tpu.core.registry import register as _register
+
+_register(
+    task_id="HostCartPole-v1",
+    import_path="envpool_tpu.runtime.host_env",
+    env_cls="HostCartPolePool",
+    max_episode_steps=500,
+)
