@@ -17,3 +17,9 @@ _register(
     env_cls="HostCartPolePool",
     max_episode_steps=500,
 )
+
+_register(
+    task_id="Dummy-v0",
+    import_path="envpool_tpu.envs.dummy",
+    env_cls="DummyEnv",
+)

@@ -1,6 +1,7 @@
 """Board-game env family (pgx-class)."""
 
 from .game_2048 import Game2048Env
+from .othello import OthelloEnv
 from .turn_games import Connect4Env, TicTacToeEnv
 
-__all__ = ["Connect4Env", "Game2048Env", "TicTacToeEnv"]
+__all__ = ["Connect4Env", "Game2048Env", "OthelloEnv", "TicTacToeEnv"]

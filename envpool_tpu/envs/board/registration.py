@@ -7,3 +7,4 @@ _PATH = "envpool_tpu.envs.board"
 register(task_id="Play2048-v1", import_path=_PATH, env_cls="Game2048Env")
 register(task_id="TicTacToe-v1", import_path=_PATH, env_cls="TicTacToeEnv")
 register(task_id="ConnectFour-v1", import_path=_PATH, env_cls="Connect4Env")
+register(task_id="Othello-v1", import_path=_PATH, env_cls="OthelloEnv")

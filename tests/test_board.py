@@ -120,3 +120,42 @@ def test_multiplayer_protocol() -> None:
     env2.reset()
     obs, rew, term, trunc, info = env2.step(np.array([0, 1, 0, 1], np.int32))
     assert np.asarray(rew).shape == (2, 2)
+
+
+def test_othello_opening_and_full_game() -> None:
+    env = envpool_tpu.make("Othello-v1", env_type="gymnasium", num_envs=2, seed=0)
+    obs, info = env.reset()
+    b = obs["board"][0]
+    assert (b == 1).sum() == 2 and (b == 2).sum() == 2
+    # Canonical black openings.
+    np.testing.assert_array_equal(
+        np.flatnonzero(info["legal_moves"][0]), [19, 26, 37, 44]
+    )
+    rng = np.random.default_rng(0)
+    for _ in range(70):
+        mask = info["legal_moves"]
+        acts = np.array(
+            [rng.choice(np.flatnonzero(m)) if m.any() else 0 for m in mask],
+            np.int32,
+        )
+        obs, rew, term, trunc, info = env.step(acts)
+        if term.all():
+            break
+    assert term.all()
+    assert set(np.unique(rew)).issubset({-1.0, 0.0, 1.0})
+
+
+def test_othello_flip_correctness() -> None:
+    """Playing 19 (row 2, col 3) flips the white disc at (3,3)."""
+    import jax
+
+    from envpool_tpu.envs.board import OthelloEnv
+
+    env = OthelloEnv.from_config(num_envs=1)
+    st, obs = env.reset_env(jax.random.PRNGKey(0))
+    out = env.step_env(st, jnp.int32(19), jax.random.PRNGKey(0))
+    b = np.asarray(out.state["board"])
+    assert b[2, 3] == 1      # played disc
+    assert b[3, 3] == 1      # flipped
+    assert b[4, 4] == 2      # untouched
+    assert float(out.reward) == 0.0 and not bool(out.terminated)
