@@ -61,6 +61,8 @@ class _HealthyLocomotionEnv(MujocoGymEnv):
         "reset_noise_scale": 5e-3,
         "healthy_reward": 1.0,
         "terminate_when_unhealthy": True,
+        # v4 pays the healthy bonus every step; v5 only while healthy.
+        "legacy_healthy_reward": True,
     }
 
     def reset_qpos_qvel(self, key):
@@ -96,6 +98,8 @@ class _HealthyLocomotionEnv(MujocoGymEnv):
         xv = (after["qpos"][0] - before["qpos"][0]) / self.dt
         healthy = self._healthy(after["qpos"], after["qvel"])
         healthy_reward = float(self.config["healthy_reward"])
+        if not bool(self.config["legacy_healthy_reward"]):
+            healthy_reward = healthy_reward * healthy.astype(jnp.float32)
         ctrl_cost = float(self.config["ctrl_cost_weight"]) * jnp.sum(
             action * action
         )
@@ -145,6 +149,7 @@ class AntEnv(MujocoGymEnv):
         "reset_noise_scale": 0.1,
         "healthy_reward": 1.0,
         "terminate_when_unhealthy": True,
+        "legacy_healthy_reward": True,
         "substeps": 2,
     }
 
@@ -157,11 +162,14 @@ class AntEnv(MujocoGymEnv):
         xv = (after["qpos"][0] - before["qpos"][0]) / self.dt
         z = after["qpos"][2]
         healthy = (z > 0.2) & (z < 1.0)
+        healthy_reward = float(self.config["healthy_reward"])
+        if not bool(self.config["legacy_healthy_reward"]):
+            healthy_reward = healthy_reward * healthy.astype(jnp.float32)
         ctrl_cost = float(self.config["ctrl_cost_weight"]) * jnp.sum(
             action * action
         )
         run = float(self.config["forward_reward_weight"]) * xv
-        reward = run + float(self.config["healthy_reward"]) - ctrl_cost
+        reward = run + healthy_reward - ctrl_cost
         terminated = (
             ~healthy
             if bool(self.config["terminate_when_unhealthy"])
@@ -228,6 +236,8 @@ class ReacherEnv(MujocoGymEnv):
     DEFAULT_CONFIG = {
         "reward_threshold": -3.75,
         "reset_noise_scale": 0.1,
+        # v5: distance measured after the step (registration.py:69-72).
+        "reward_after_step": False,
     }
 
     def __init__(self, config):
@@ -282,7 +292,10 @@ class ReacherEnv(MujocoGymEnv):
         }
 
     def reward_done(self, before, after, action):
-        vec = self._vec(before["qpos"])
+        which = (
+            after if bool(self.config["reward_after_step"]) else before
+        )
+        vec = self._vec(which["qpos"])
         reward_dist = -jnp.linalg.norm(vec)
         reward_ctrl = -jnp.sum(action * action)
         return (
@@ -298,6 +311,8 @@ class InvertedPendulumEnv(MujocoGymEnv):
     DEFAULT_CONFIG = {
         "reward_threshold": 950.0,
         "reset_noise_scale": 0.01,
+        # v5: no reward on the terminating step (registration.py:60-61).
+        "reward_if_not_terminated": False,
     }
 
     def reset_qpos_qvel(self, key):
@@ -318,7 +333,10 @@ class InvertedPendulumEnv(MujocoGymEnv):
 
     def reward_done(self, before, after, action):
         terminated = jnp.abs(after["qpos"][1]) > 0.2
-        return jnp.float32(1.0), terminated, {}
+        reward = jnp.float32(1.0)
+        if bool(self.config["reward_if_not_terminated"]):
+            reward = jnp.where(terminated, 0.0, 1.0).astype(jnp.float32)
+        return reward, terminated, {}
 
 
 class InvertedDoublePendulumEnv(MujocoGymEnv):
@@ -327,6 +345,7 @@ class InvertedDoublePendulumEnv(MujocoGymEnv):
     DEFAULT_CONFIG = {
         "reward_threshold": 9100.0,
         "reset_noise_scale": 0.1,
+        "reward_if_not_terminated": False,
     }
 
     def __init__(self, config):
@@ -358,4 +377,6 @@ class InvertedDoublePendulumEnv(MujocoGymEnv):
         alive_bonus = 10.0
         reward = alive_bonus - dist_penalty - vel_penalty
         terminated = y <= 1.0
+        if bool(self.config["reward_if_not_terminated"]):
+            reward = jnp.where(terminated, 0.0, reward)
         return reward, terminated, {}
