@@ -2,6 +2,13 @@
 
 from .game_2048 import Game2048Env
 from .othello import OthelloEnv
+from .poker import KuhnPokerEnv
 from .turn_games import Connect4Env, TicTacToeEnv
 
-__all__ = ["Connect4Env", "Game2048Env", "OthelloEnv", "TicTacToeEnv"]
+__all__ = [
+    "Connect4Env",
+    "Game2048Env",
+    "KuhnPokerEnv",
+    "OthelloEnv",
+    "TicTacToeEnv",
+]

@@ -159,3 +159,20 @@ def test_othello_flip_correctness() -> None:
     assert b[3, 3] == 1      # flipped
     assert b[4, 4] == 2      # untouched
     assert float(out.reward) == 0.0 and not bool(out.terminated)
+
+
+def test_kuhn_poker_payoffs() -> None:
+    env = envpool_tpu.make(
+        "KuhnPoker-v1", env_type="gymnasium", num_envs=256, seed=0
+    )
+    env.reset()
+    rng = np.random.default_rng(0)
+    rews = []
+    for _ in range(50):
+        obs, rew, term, trunc, info = env.step(
+            rng.integers(0, 2, 256).astype(np.int32)
+        )
+        rews.extend(rew[term].tolist())
+    assert set(np.unique(rews)).issubset({-2.0, -1.0, 1.0, 2.0})
+    # Check-check and folds pay ±1; called showdowns ±2 — both occur.
+    assert 1.0 in rews and 2.0 in rews
