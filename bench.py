@@ -85,22 +85,8 @@ def _bench_continuous(task: str, num_envs: int, steps: int, act_dim: int,
 
 
 def main() -> None:
-    cartpole = _bench("CartPole-v1", 16384, 1024, 2)
-    print(
-        f"cartpole: {cartpole:,.0f} env-steps/s "
-        f"({cartpole / CARTPOLE_BASELINE:.1f}x north star)",
-        file=sys.stderr,
-    )
-    cheetah = _bench_continuous("HalfCheetah-v4", 4096, 128, 6)
-    cheetah_fast = _bench_continuous(
-        "HalfCheetah-v4", 4096, 128, 6, integrator="euler"
-    )
-    print(
-        f"halfcheetah(RK4 faithful): {cheetah:,.0f} env-steps/s = "
-        f"{cheetah * 5:,.0f} FPS | euler fast: {cheetah_fast:,.0f} steps/s"
-        f" = {cheetah_fast * 5:,.0f} FPS (ref TPU-VM async 887,540 FPS)",
-        file=sys.stderr,
-    )
+    # Headline first (Pong pixel path), so a tight harness timeout still
+    # records it; secondary metrics follow on stderr.
     pong_steps = _bench("Pong-v5", 2048, 256, 6)
     pong_fps = pong_steps * 4  # frame_skip=4, reference FPS counts frames
     print(
@@ -115,7 +101,20 @@ def main() -> None:
                 "unit": "frames/s",
                 "vs_baseline": round(pong_fps / ATARI_BASELINE, 3),
             }
-        )
+        ),
+        flush=True,
+    )
+    cartpole = _bench("CartPole-v1", 16384, 1024, 2)
+    print(
+        f"cartpole: {cartpole:,.0f} env-steps/s "
+        f"({cartpole / CARTPOLE_BASELINE:.1f}x north star)",
+        file=sys.stderr,
+    )
+    cheetah = _bench_continuous("HalfCheetah-v4", 4096, 128, 6)
+    print(
+        f"halfcheetah: {cheetah:,.0f} env-steps/s = {cheetah * 5:,.0f} FPS "
+        f"(ref TPU-VM async 887,540 FPS)",
+        file=sys.stderr,
     )
 
 
