@@ -1,5 +1,6 @@
 """Gym-MuJoCo env family over the TPU-native physics engine."""
 
+from .humanoid import HumanoidEnv, HumanoidStandupEnv
 from .tasks import (
     AntEnv,
     HalfCheetahEnv,
@@ -13,6 +14,8 @@ from .tasks import (
 
 __all__ = [
     "AntEnv",
+    "HumanoidEnv",
+    "HumanoidStandupEnv",
     "HalfCheetahEnv",
     "HopperEnv",
     "InvertedDoublePendulumEnv",

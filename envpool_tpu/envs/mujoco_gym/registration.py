@@ -17,6 +17,8 @@ _TASKS = [
     ("Ant", "AntEnv", ("v3", "v4", "v5"), 1000),
     ("HalfCheetah", "HalfCheetahEnv", ("v3", "v4", "v5"), 1000),
     ("Hopper", "HopperEnv", ("v3", "v4", "v5"), 1000),
+    ("Humanoid", "HumanoidEnv", ("v3", "v4"), 1000),
+    ("HumanoidStandup", "HumanoidStandupEnv", ("v2", "v4"), 1000),
     ("InvertedDoublePendulum", "InvertedDoublePendulumEnv",
      ("v2", "v4", "v5"), 1000),
     ("InvertedPendulum", "InvertedPendulumEnv", ("v2", "v4", "v5"), 1000),

@@ -99,3 +99,24 @@ def test_determinism() -> None:
         return obs
 
     np.testing.assert_array_equal(run(), run())
+
+
+def test_humanoid_obs_dim_and_step() -> None:
+    env = envpool_tpu.make("Humanoid-v4", env_type="gymnasium", num_envs=2, seed=0)
+    obs, info = env.reset()
+    assert obs.shape == (2, 376)  # gym v4 layout incl. worldbody rows
+    obs, rew, term, trunc, info = env.step(
+        np.zeros((2, 17), np.float32)
+    )
+    assert np.isfinite(obs).all()
+
+
+def test_humanoid_standup_reward() -> None:
+    env = envpool_tpu.make(
+        "HumanoidStandup-v4", env_type="gymnasium", num_envs=2, seed=0
+    )
+    env.reset()
+    obs, rew, term, trunc, info = env.step(np.zeros((2, 17), np.float32))
+    # Lying height ~0.1 / dt 0.003 + 1 ≈ 30-40.
+    assert (rew > 5).all() and (rew < 100).all()
+    assert not term.any()
