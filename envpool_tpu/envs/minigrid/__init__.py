@@ -1,5 +1,6 @@
-"""MiniGrid env family (TPU-native int-array gridworlds)."""
+"""MiniGrid + BabyAI env families (TPU-native int-array gridworlds)."""
 
+from .babyai import BabyAIGoToEnv
 from .minigrid_env import MiniGridEnv
 
-__all__ = ["MiniGridEnv"]
+__all__ = ["BabyAIGoToEnv", "MiniGridEnv"]

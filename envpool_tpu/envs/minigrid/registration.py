@@ -83,3 +83,20 @@ for n in (1, 2, 3):
         num_crossings=n,
         obstacle_type="lava",
     )
+
+register(
+    task_id="BabyAI-GoToObj-v0",
+    import_path=_PATH,
+    env_cls="BabyAIGoToEnv",
+    env_name="goto_obj",
+    size=8,
+    max_episode_steps=64,
+)
+register(
+    task_id="BabyAI-GoToDoor-v0",
+    import_path=_PATH,
+    env_cls="BabyAIGoToEnv",
+    env_name="goto_door",
+    size=8,
+    max_episode_steps=256,
+)

@@ -112,3 +112,28 @@ def test_determinism_random_tasks() -> None:
 
     for task in ["MiniGrid-DoorKey-5x5-v0", "MiniGrid-FourRooms-v0"]:
         np.testing.assert_array_equal(run(task), run(task))
+
+
+def test_babyai_goto_obj() -> None:
+    env = envpool_tpu.make(
+        "BabyAI-GoToObj-v0", env_type="gymnasium", num_envs=8, seed=0
+    )
+    obs, info = env.reset()
+    # Mission id encodes color*8 + object type (key/ball/box = 5/6/7).
+    assert all(m % 8 in (5, 6, 7) for m in info["mission_id"].tolist())
+    rng = np.random.default_rng(0)
+    succ = 0
+    for _ in range(200):
+        obs, rew, term, trunc, info = env.step(
+            rng.integers(0, 3, 8).astype(np.int32)
+        )
+        succ += int((rew > 0).sum())
+    assert succ > 0  # random walk eventually faces the object
+
+
+def test_babyai_goto_door_missions() -> None:
+    env = envpool_tpu.make(
+        "BabyAI-GoToDoor-v0", env_type="gymnasium", num_envs=8, seed=1
+    )
+    obs, info = env.reset()
+    assert all(m % 8 == mg.DOOR for m in info["mission_id"].tolist())
