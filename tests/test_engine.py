@@ -168,3 +168,44 @@ def test_numpy_output_false_returns_jax() -> None:
     )
     obs, info = env.reset()
     assert isinstance(obs, jax.Array)
+
+
+def test_save_load_state_roundtrip(tmp_path) -> None:
+    """Checkpoint/resume (absent in the reference — SURVEY.md §5)."""
+    env = envpool_tpu.make("CartPole-v1", env_type="gymnasium", num_envs=4, seed=9)
+    env.reset()
+    acts = np.ones(4, np.int32)
+    for _ in range(3):
+        env.step(acts)
+    path = str(tmp_path / "pool.npz")
+    env.save_state(path)
+    obs_a, *_ = env.step(acts)
+    # Diverge the live pool, then restore.
+    for _ in range(5):
+        env.step(acts)
+    env.load_state(path)
+    obs_b, *_ = env.step(acts)
+    np.testing.assert_array_equal(obs_a, obs_b)
+
+
+def test_xla_gymnasium_flavor() -> None:
+    """xla() on the gymnasium adapter returns the 5-tuple inside jit."""
+    env = envpool_tpu.make(
+        "CartPole-v1", env_type="gymnasium", num_envs=8, seed=0,
+        numpy_output=False,
+    )
+    handle, recv, send, step = env.xla()
+
+    @jax.jit
+    def two_steps(handle):
+        handle, (obs, rew, term, trunc, info) = step(
+            handle, jnp.ones(8, jnp.int32)
+        )
+        handle, (obs, rew, term, trunc, info) = step(
+            handle, jnp.zeros(8, jnp.int32)
+        )
+        return obs, rew, info["elapsed_step"]
+
+    obs, rew, elapsed = two_steps(handle)
+    assert obs.shape == (8, 4)
+    assert (np.asarray(elapsed) == 1).all()  # first step was the autoreset
