@@ -1,12 +1,14 @@
 """Board-game env family (pgx-class)."""
 
 from .game_2048 import Game2048Env
+from .hex import HexEnv
 from .othello import OthelloEnv
 from .poker import KuhnPokerEnv
 from .turn_games import Connect4Env, TicTacToeEnv
 
 __all__ = [
     "Connect4Env",
+    "HexEnv",
     "Game2048Env",
     "KuhnPokerEnv",
     "OthelloEnv",

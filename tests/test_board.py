@@ -176,3 +176,46 @@ def test_kuhn_poker_payoffs() -> None:
     assert set(np.unique(rews)).issubset({-2.0, -1.0, 1.0, 2.0})
     # Check-check and folds pay ±1; called showdowns ±2 — both occur.
     assert 1.0 in rews and 2.0 in rews
+
+
+def test_hex_no_draws_and_connectivity() -> None:
+    """Hex theorem: a filled board always has exactly one winner."""
+    env = envpool_tpu.make("Hex-v1", env_type="gymnasium", num_envs=4, seed=0)
+    obs, info = env.reset()
+    rng = np.random.default_rng(0)
+    done = np.zeros(4, bool)
+    winners = []
+    for _ in range(121):
+        mask = info["legal_moves"]
+        acts = np.array(
+            [rng.choice(np.flatnonzero(m)) if m.any() else 0 for m in mask],
+            np.int32,
+        )
+        obs, rew, term, trunc, info = env.step(acts)
+        for i in np.flatnonzero(term & ~done):
+            winners.append(float(rew[i]))
+        done |= term
+        if done.all():
+            break
+    assert done.all()
+    assert all(r == 1.0 for r in winners)
+
+
+def test_hex_vertical_chain_wins() -> None:
+    """A straight top-to-bottom column for player 0 wins."""
+    import jax
+
+    from envpool_tpu.envs.board.hex import HexEnv
+
+    env = HexEnv.from_config(num_envs=1)
+    st, obs = env.reset_env(jax.random.PRNGKey(0))
+    # p0 fills column 0 (actions r*11); p1 plays far away (r*11+5).
+    out = None
+    for r in range(11):
+        out = env.step_env(st, jnp.int32(r * 11), jax.random.PRNGKey(0))
+        st = out.state
+        if r < 10:
+            out = env.step_env(st, jnp.int32(r * 11 + 5), jax.random.PRNGKey(0))
+            st = out.state
+    assert bool(out.terminated)
+    assert float(out.reward) == 1.0
