@@ -1,0 +1,734 @@
+"""Highway (straight multi-lane road) — TPU-native functional implementation.
+
+Behavioral reference: ``envpool/highway/highway_env.{h,cc}`` (EnvPool's native
+C++ reimplementation of Farama highway-env's ``highway-v0``).  This build
+replaces the per-vehicle object loop with fixed-shape array programs over a
+vehicle axis ``V = 1 + vehicles_count`` (row 0 = the MDP-controlled ego, rows
+1.. = IDM traffic):
+
+* neighbour queries and MOBIL lane-change tests are masked ``[V, V]``
+  reductions instead of O(V) scans per vehicle
+  (``highway_env.cc:742-775,846-884``);
+* the rotated-rectangle collision test (separating axes with velocity
+  lookahead and minimum-translation impact, ``highway_env.cc:312-391``) is one
+  batched ``[V, V, 4]``-axis program;
+* the ``simulation_frequency / policy_frequency`` sub-step loop is a
+  ``lax.scan`` (``highway_env.cc:551-566``).
+
+Deviation from the reference (documented): the reference applies IDM/MOBIL
+decisions *sequentially* over the vehicle list, so vehicle ``j`` can observe
+the lane-change intent vehicle ``i < j`` made in the same control tick.  Here
+all traffic decisions are evaluated synchronously from the pre-tick state —
+the natural SPMD formulation; the ego-visible API, rewards, and observation
+layout are unchanged.  RNG is counter-based (jax.random), not mt19937, so
+trajectories are deterministic per seed but not bit-identical to the C++.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ...core.env import EnvOut, TpuEnv
+from ...core.specs import ArraySpec
+
+_PI = math.pi
+_LANE_WIDTH = 4.0
+_LANE_LENGTH = 10000.0
+_LENGTH = 5.0  # vehicle length
+_WIDTH = 2.0
+_MAX_SPEED = 40.0
+_MIN_SPEED = -40.0
+_PERCEPTION = 5.0 * _MAX_SPEED
+
+_KP_A = 1.0 / 0.6
+_KP_HEADING = 1.0 / 0.2
+_KP_LATERAL = 1.0 / 0.6
+_MAX_STEER = _PI / 3.0
+
+_IDM_ACC_MAX = 6.0
+_IDM_COMFORT_ACC_MAX = 3.0
+_IDM_COMFORT_ACC_MIN = -5.0
+_IDM_DIST_WANTED = 5.0 + _LENGTH
+_IDM_TIME_WANTED = 1.5
+_LC_MIN_ACC_GAIN = 0.2
+_LC_MAX_BRAKING = 2.0
+_LC_DELAY = 1.0
+
+_EGO_SPEEDS = jnp.asarray([20.0, 25.0, 30.0], jnp.float32)
+
+
+def _notzero(x):
+    return jnp.where(jnp.abs(x) > 1e-2, x, jnp.where(x >= 0, 1e-2, -1e-2))
+
+
+def _lmap(v, x0, x1, y0, y1):
+    return y0 + (v - x0) * (y1 - y0) / (x1 - x0)
+
+
+def _wrap_pi(x):
+    return (x + _PI) % (2.0 * _PI) - _PI
+
+
+def _steering_control(y, heading, speed, target_lane):
+    """Pure-pursuit steering toward a straight lane (highway_env.cc:640-660)."""
+    lateral = y - _LANE_WIDTH * target_lane.astype(jnp.float32)
+    lat_cmd = -_KP_LATERAL * lateral
+    heading_cmd = jnp.arcsin(jnp.clip(lat_cmd / _notzero(speed), -1.0, 1.0))
+    heading_ref = jnp.clip(heading_cmd, -_PI / 4, _PI / 4)
+    rate_cmd = _KP_HEADING * _wrap_pi(heading_ref - heading)
+    slip = jnp.arcsin(
+        jnp.clip(_LENGTH / 2.0 / _notzero(speed) * rate_cmd, -1.0, 1.0)
+    )
+    return jnp.clip(jnp.arctan(2.0 * jnp.tan(slip)), -_MAX_STEER, _MAX_STEER)
+
+
+def _closest_lane(y, lanes_count):
+    return jnp.clip(
+        jnp.round(y / _LANE_WIDTH).astype(jnp.int32), 0, lanes_count - 1
+    )
+
+
+def _idm_acc(
+    delta,
+    ego_valid,
+    ego_speed,
+    ego_target_speed,
+    ego_vx,
+    ego_vy,
+    ego_heading,
+    ego_x,
+    front_valid,
+    front_x,
+    front_vx,
+    front_vy,
+):
+    """IDM acceleration (highway_env.cc:781-807); delta is the decider's."""
+    ets = jnp.clip(ego_target_speed, 0.0, 30.0)
+    acc = _IDM_COMFORT_ACC_MAX * (
+        1.0
+        - jnp.power(
+            jnp.maximum(ego_speed, 0.0) / jnp.abs(_notzero(ets)), delta
+        )
+    )
+    d = front_x - ego_x
+    dv = (ego_vx - front_vx) * jnp.cos(ego_heading) + (
+        ego_vy - front_vy
+    ) * jnp.sin(ego_heading)
+    ab = -_IDM_COMFORT_ACC_MAX * _IDM_COMFORT_ACC_MIN
+    gap = (
+        _IDM_DIST_WANTED
+        + ego_speed * _IDM_TIME_WANTED
+        + ego_speed * dv / (2.0 * jnp.sqrt(ab))
+    )
+    acc = acc - jnp.where(
+        front_valid, _IDM_COMFORT_ACC_MAX * (gap / _notzero(d)) ** 2, 0.0
+    )
+    return jnp.where(ego_valid, acc, 0.0)
+
+
+class HighwayEnv(TpuEnv):
+    """highway-v0 / highway-fast-v0 (envpool/highway/highway_env.h:122-166)."""
+
+    DEFAULT_CONFIG: dict[str, Any] = {
+        "lanes_count": 4,
+        "vehicles_count": 50,
+        "observation_vehicles_count": 5,
+        "controlled_vehicles": 1,
+        "initial_lane_id": -1,
+        "duration": 40,
+        "simulation_frequency": 15,
+        "policy_frequency": 1,
+        "ego_spacing": 2.0,
+        "vehicles_density": 1.0,
+        "collision_reward": -1.0,
+        "right_lane_reward": 0.1,
+        "high_speed_reward": 0.4,
+        "lane_change_reward": 0.0,
+        "reward_speed_low": 20.0,
+        "reward_speed_high": 30.0,
+        "normalize_reward": True,
+        "offroad_terminal": False,
+        "other_vehicles_check_collisions": True,
+        "screen_width": 600,
+        "screen_height": 150,
+        "centering_position_x": 0.3,
+        "centering_position_y": 0.5,
+        "scaling": 5.5,
+    }
+
+    # -- specs ---------------------------------------------------------------
+
+    def state_spec(self):
+        inf = float("inf")
+        f = int(self.config["observation_vehicles_count"])
+        return {
+            "obs": ArraySpec(jnp.float32, (f, 5), -inf, inf),
+            "info:speed": ArraySpec(jnp.float32, ()),
+            "info:crashed": ArraySpec(jnp.bool_, ()),
+        }
+
+    def action_spec(self):
+        return {"action": ArraySpec(jnp.int32, (), 0, 4, is_discrete=True)}
+
+    @property
+    def _v(self) -> int:
+        return 1 + int(self.config["vehicles_count"])
+
+    @property
+    def _lanes(self) -> int:
+        return int(self.config["lanes_count"])
+
+    # -- reset -----------------------------------------------------------------
+
+    def reset_env(self, key):
+        lanes = self._lanes
+        v = self._v
+        k_lane, k_speed, k_u, k_delta, k_ego_lane = jax.random.split(key, 5)
+
+        # Traffic lanes/speeds (highway_env.cc:483-521).
+        lane = jax.random.randint(k_lane, (v,), 0, lanes)
+        ego_lane_cfg = int(self.config["initial_lane_id"])
+        if ego_lane_cfg >= 0:
+            ego_lane = jnp.int32(min(max(ego_lane_cfg, 0), lanes - 1))
+        else:
+            ego_lane = jax.random.randint(k_ego_lane, (), 0, lanes)
+        lane = lane.at[0].set(ego_lane)
+        speed = jax.random.uniform(
+            k_speed, (v,), jnp.float32, 0.7 * 30.0, 0.8 * 30.0
+        )
+        speed = speed.at[0].set(25.0)
+
+        # Longitudinal placement: strictly increasing x, so the sequential
+        # "max over previous x" collapses to a cumulative sum.
+        density = float(self.config["vehicles_density"])
+        spacing = jnp.full((v,), 1.0 / max(density, 1e-6), jnp.float32)
+        spacing = spacing.at[0].set(float(self.config["ego_spacing"]))
+        offset = (
+            spacing
+            * (12.0 + speed)
+            * jnp.exp(-5.0 / 40.0 * jnp.float32(lanes))
+        )
+        u = jax.random.uniform(k_u, (v,), jnp.float32, 0.9, 1.1)
+        step_x = offset * u
+        x = jnp.cumsum(step_x) + 3.0 * offset[0]
+        y = _LANE_WIDTH * lane.astype(jnp.float32)
+
+        idm_delta = jax.random.uniform(k_delta, (v,), jnp.float32, 3.5, 4.5)
+        # Ego target speed snaps to the MDP speed grid (speed 25 → index 1).
+        target_speed = speed.at[0].set(25.0)
+
+        st = {
+            "x": x,
+            "y": y,
+            "heading": jnp.zeros((v,), jnp.float32),
+            "speed": speed,
+            "target_lane": lane,
+            "target_speed": target_speed,
+            "timer": jnp.mod((x + y) * _PI, _LC_DELAY),
+            "idm_delta": idm_delta,
+            "crashed": jnp.zeros((v,), jnp.bool_),
+            "impact": jnp.zeros((v, 2), jnp.float32),
+            "has_impact": jnp.zeros((v,), jnp.bool_),
+        }
+        return st, self._obs(st)
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _vx(self, st):
+        return st["speed"] * jnp.cos(st["heading"])
+
+    def _vy(self, st):
+        return st["speed"] * jnp.sin(st["heading"])
+
+    def _neighbours(self, st, lane_q):
+        """Front/rear vehicle per row for per-row query lane ``lane_q`` [V].
+
+        Vectorization of ``NeighbourVehicles`` (highway_env.cc:742-775):
+        candidates within (lane_width/2 + 1) laterally of the query lane and
+        inside the road extent.
+        """
+        x, y = st["x"], st["y"]
+        lat = y[None, :] - _LANE_WIDTH * lane_q.astype(jnp.float32)[:, None]
+        v = x.shape[0]
+        ok = (
+            (jnp.abs(lat) <= _LANE_WIDTH / 2.0 + 1.0)
+            & (x[None, :] >= -_LENGTH)
+            & (x[None, :] < _LANE_LENGTH + _LENGTH)
+            & ~jnp.eye(v, dtype=bool)
+        )
+        front_mask = ok & (x[None, :] >= x[:, None])
+        front_key = jnp.where(front_mask, x[None, :], jnp.inf)
+        front_idx = jnp.argmin(front_key, axis=1)
+        front_valid = front_mask.any(axis=1)
+        rear_mask = ok & (x[None, :] < x[:, None])
+        rear_key = jnp.where(rear_mask, x[None, :], -jnp.inf)
+        rear_idx = jnp.argmax(rear_key, axis=1)
+        rear_valid = rear_mask.any(axis=1)
+        return front_idx, front_valid, rear_idx, rear_valid
+
+    def _idm_toward(self, st, front_idx, front_valid):
+        """acc of each row following ``front_idx`` in its own role (ego=self)."""
+        vx, vy = self._vx(st), self._vy(st)
+        return _idm_acc(
+            st["idm_delta"],
+            jnp.ones_like(front_valid),
+            st["speed"],
+            st["target_speed"],
+            vx,
+            vy,
+            st["heading"],
+            st["x"],
+            front_valid,
+            st["x"][front_idx],
+            vx[front_idx],
+            vy[front_idx],
+        )
+
+    def _idm_pair(self, st, delta, ego_idx, ego_valid, front_idx, front_valid):
+        """IDM acc of vehicle ``ego_idx`` following ``front_idx`` (per row)."""
+        vx, vy = self._vx(st), self._vy(st)
+        return _idm_acc(
+            delta,
+            ego_valid,
+            st["speed"][ego_idx],
+            st["target_speed"][ego_idx],
+            vx[ego_idx],
+            vy[ego_idx],
+            st["heading"][ego_idx],
+            st["x"][ego_idx],
+            front_valid,
+            st["x"][front_idx],
+            vx[front_idx],
+            vy[front_idx],
+        )
+
+    def _mobil(self, st, cand_lane, lane):
+        """MOBIL test of every row changing to ``cand_lane`` [V] (politeness 0).
+
+        Vectorization of highway_env.cc:846-884.
+        """
+        rows = jnp.arange(st["x"].shape[0])
+        new_front, new_front_v, new_rear, new_rear_v = self._neighbours(
+            st, cand_lane
+        )
+        old_front, old_front_v, _, _ = self._neighbours(st, lane)
+        delta = st["idm_delta"]
+        # Safety: would the new follower brake too hard behind us?
+        new_follow_pred = self._idm_pair(
+            st, delta, new_rear, new_rear_v, rows, jnp.ones_like(new_rear_v)
+        )
+        safe = new_follow_pred >= -_LC_MAX_BRAKING
+        # Gain: our IDM acc behind the new front vs behind the old front.
+        self_pred = self._idm_pair(
+            st, delta, rows, jnp.ones_like(new_front_v), new_front, new_front_v
+        )
+        self_now = self._idm_pair(
+            st, delta, rows, jnp.ones_like(old_front_v), old_front, old_front_v
+        )
+        gain = self_pred - self_now
+        return safe & (gain >= _LC_MIN_ACC_GAIN)
+
+    def _change_lane_policy(self, st, lane):
+        """New (target_lane, timer) for traffic rows (highway_env.cc:809-844)."""
+        x = st["x"]
+        v = x.shape[0]
+        target = st["target_lane"]
+        changing = lane != target
+
+        # Abort an ongoing change if another vehicle is already heading into
+        # the same target lane closer than the desired gap ahead of us.
+        vx, vy = self._vx(st), self._vy(st)
+        dv = (vx[:, None] - vx[None, :]) * jnp.cos(st["heading"])[
+            :, None
+        ] + (vy[:, None] - vy[None, :]) * jnp.sin(st["heading"])[:, None]
+        ab = -_IDM_COMFORT_ACC_MAX * _IDM_COMFORT_ACC_MIN
+        gap = (
+            _IDM_DIST_WANTED
+            + st["speed"][:, None] * _IDM_TIME_WANTED
+            + st["speed"][:, None] * dv / (2.0 * jnp.sqrt(ab))
+        )
+        d = x[None, :] - x[:, None]
+        conflict = (
+            (lane[None, :] != target[:, None])
+            & (target[None, :] == target[:, None])
+            & ~jnp.eye(v, dtype=bool)
+            & (d > 0.0)
+            & (d < gap)
+        ).any(axis=1)
+        target_after_abort = jnp.where(changing & conflict, lane, target)
+
+        # Not changing: when the per-vehicle timer expires, consider both side
+        # lanes (left first) through MOBIL.
+        may_consider = ~changing & (st["timer"] > _LC_DELAY)
+        new_timer = jnp.where(may_consider, 0.0, st["timer"])
+        moving = jnp.abs(st["speed"]) >= 1.0
+        left = lane - 1
+        right = lane + 1
+        lanes_count = self._lanes
+        y = st["y"]
+
+        def reachable(cand):
+            lat = y - _LANE_WIDTH * cand.astype(jnp.float32)
+            return (
+                (cand >= 0)
+                & (cand < lanes_count)
+                & (jnp.abs(lat) <= 2.0 * _LANE_WIDTH)
+                & (x >= 0.0)
+                & (x < _LANE_LENGTH + _LENGTH)
+            )
+
+        left_ok = (
+            may_consider & reachable(left) & moving & self._mobil(st, left, lane)
+        )
+        right_ok = (
+            may_consider
+            & reachable(right)
+            & moving
+            & self._mobil(st, right, lane)
+        )
+        new_target = jnp.where(
+            left_ok, left, jnp.where(right_ok, right, target_after_abort)
+        )
+        return new_target, new_timer
+
+    def _collide(self, st, dt, check_mask):
+        """Batched rotated-rect SAT with velocity lookahead.
+
+        Vectorization of ``CollidePolygons`` (highway_env.cc:312-391) over all
+        vehicle pairs; 4 unique separating axes (the duplicated negated edge
+        normals of the C++ loop yield identical distances).
+        """
+        x, y, heading = st["x"], st["y"], st["heading"]
+        v = x.shape[0]
+        c, s = jnp.cos(heading), jnp.sin(heading)
+        center = jnp.stack([x, y], axis=-1)  # [V,2]
+        longi = jnp.stack([c, s], axis=-1) * (_LENGTH / 2.0)
+        latr = jnp.stack([-s, c], axis=-1) * (_WIDTH / 2.0)
+        corners = jnp.stack(
+            [
+                center - longi - latr,
+                center - longi + latr,
+                center + longi + latr,
+                center + longi - latr,
+            ],
+            axis=1,
+        )  # [V,4,2]
+        disp = (
+            jnp.stack([self._vx(st), self._vy(st)], axis=-1) * dt
+        )  # [V,2]
+
+        # Axes per pair (i,j): i's normals and j's normals. [V,V,4,2]
+        dir_i = jnp.stack([c, s], axis=-1)
+        perp_i = jnp.stack([-s, c], axis=-1)
+        axes = jnp.stack(
+            [
+                jnp.broadcast_to(dir_i[:, None], (v, v, 2)),
+                jnp.broadcast_to(perp_i[:, None], (v, v, 2)),
+                jnp.broadcast_to(dir_i[None, :], (v, v, 2)),
+                jnp.broadcast_to(perp_i[None, :], (v, v, 2)),
+            ],
+            axis=2,
+        )
+
+        # Projections of i's and j's corners on each axis: [V,V,4(axis),4(corner)]
+        proj_i = jnp.einsum("ikd,ijad->ijak", corners, axes)
+        proj_j = jnp.einsum("jkd,ijad->ijak", corners, axes)
+        a_low, a_high = proj_i.min(-1), proj_i.max(-1)
+        b_low, b_high = proj_j.min(-1), proj_j.max(-1)
+
+        def interval_distance(al, ah, bl, bh):
+            return jnp.where(al < bl, bl - ah, al - bh)
+
+        dist_static = interval_distance(a_low, a_high, b_low, b_high)
+        intersecting = (dist_static <= 0.0).all(-1)
+
+        vp = jnp.einsum(
+            "ijad,ijd->ija", axes, disp[:, None] - disp[None, :]
+        )
+        a_low2 = a_low + jnp.minimum(vp, 0.0)
+        a_high2 = a_high + jnp.maximum(vp, 0.0)
+        dist_dyn = interval_distance(a_low2, a_high2, b_low, b_high)
+        will_intersect = (dist_dyn <= 0.0).all(-1)
+
+        # Minimum-translation axis over the 4 axes (sign toward i).
+        abs_dist = jnp.abs(dist_dyn)
+        best = jnp.argmin(abs_dist, axis=-1)  # [V,V]
+        min_dist = jnp.take_along_axis(abs_dist, best[..., None], -1)[..., 0]
+        best_axis = jnp.take_along_axis(
+            axes, best[..., None, None], 2
+        )[:, :, 0, :]
+        center_delta = center[:, None] - center[None, :]
+        sign = jnp.where(
+            jnp.einsum("ijd,ijd->ij", center_delta, best_axis) > 0.0, 1.0, -1.0
+        )
+        translation = (
+            sign[..., None] * min_dist[..., None] * best_axis
+        )  # [V,V,2] toward i
+
+        # Early-distance cull (highway_env.cc:362-374).
+        dist_centers = jnp.linalg.norm(center_delta, axis=-1)
+        diag = math.sqrt(_LENGTH**2 + _WIDTH**2)
+        near = dist_centers <= diag + jnp.linalg.norm(disp, axis=-1)[:, None]
+
+        pair = check_mask & ~jnp.eye(v, dtype=bool) & near
+        hit = pair & will_intersect
+        crashed_now = (pair & intersecting).any(1)
+        jpick = jnp.argmax(hit, axis=1)
+        has_impact = hit.any(axis=1)
+        impact = 0.5 * jnp.take_along_axis(
+            translation, jpick[:, None, None], 1
+        )[:, 0, :]
+        impact = jnp.where(has_impact[:, None], impact, 0.0)
+        return crashed_now, has_impact, impact
+
+    # -- step ------------------------------------------------------------------
+
+    def _apply_meta_action(self, st, action):
+        """Ego meta-action → target speed / target lane (highway_env.cc:585-625)."""
+        lanes = self._lanes
+        action = jnp.clip(action, 0, 4)
+        speed0 = st["speed"][0]
+        # FASTER / SLOWER: re-index from the *current* speed.
+        span = _EGO_SPEEDS[-1] - _EGO_SPEEDS[0]
+        idx = jnp.clip(
+            jnp.round((speed0 - _EGO_SPEEDS[0]) / span * 2.0).astype(jnp.int32),
+            0,
+            2,
+        )
+        idx = jnp.where(
+            action == 3, idx + 1, jnp.where(action == 4, idx - 1, idx)
+        )
+        idx = jnp.clip(idx, 0, 2)
+        new_target_speed = jnp.where(
+            (action == 3) | (action == 4), _EGO_SPEEDS[idx], st["target_speed"][0]
+        )
+        # LANE_LEFT / LANE_RIGHT on the *target* lane, if reachable.
+        tl = st["target_lane"][0]
+        cand = jnp.clip(
+            tl + jnp.where(action == 2, 1, jnp.where(action == 0, -1, 0)),
+            0,
+            lanes - 1,
+        )
+        lat = st["y"][0] - _LANE_WIDTH * cand.astype(jnp.float32)
+        reachable = (
+            (jnp.abs(lat) <= 2.0 * _LANE_WIDTH)
+            & (st["x"][0] >= 0.0)
+            & (st["x"][0] < _LANE_LENGTH + _LENGTH)
+        )
+        new_tl = jnp.where(
+            ((action == 0) | (action == 2)) & reachable, cand, tl
+        )
+        st = dict(st)
+        st["target_speed"] = st["target_speed"].at[0].set(new_target_speed)
+        st["target_lane"] = st["target_lane"].at[0].set(new_tl)
+        return st
+
+    def _substep(self, st, dt, check_mask):
+        lanes = self._lanes
+        v = self._v
+        lane = _closest_lane(st["y"], lanes)
+
+        # Traffic lane-change decisions (rows >= 1, not crashed).
+        new_target, new_timer = self._change_lane_policy(st, lane)
+        is_traffic = jnp.arange(v) >= 1
+        act_traffic = is_traffic & ~st["crashed"]
+        target_lane = jnp.where(act_traffic, new_target, st["target_lane"])
+        timer = jnp.where(act_traffic, new_timer, st["timer"])
+        st = {**st, "target_lane": target_lane, "timer": timer}
+
+        # Controls.
+        steering = _steering_control(
+            st["y"], st["heading"], st["speed"], st["target_lane"]
+        )
+        accel_ctrl = _KP_A * (st["target_speed"] - st["speed"])  # ego row
+
+        front_idx, front_v, _, _ = self._neighbours(st, lane)
+        acc_idm = self._idm_toward(st, front_idx, front_v)
+        tfront_idx, tfront_v, _, _ = self._neighbours(st, st["target_lane"])
+        acc_idm_t = self._idm_toward(st, tfront_idx, tfront_v)
+        acc_idm = jnp.where(
+            lane != st["target_lane"], jnp.minimum(acc_idm, acc_idm_t), acc_idm
+        )
+        acc_idm = jnp.clip(acc_idm, -_IDM_ACC_MAX, _IDM_ACC_MAX)
+        accel = jnp.where(is_traffic, acc_idm, accel_ctrl)
+
+        # Kinematic bicycle step (highway_env.cc:690-723).
+        crashed = st["crashed"]
+        steering = jnp.where(crashed, 0.0, steering)
+        accel = jnp.where(crashed, -st["speed"], accel)
+        accel = jnp.where(
+            st["speed"] > _MAX_SPEED,
+            jnp.minimum(accel, _MAX_SPEED - st["speed"]),
+            accel,
+        )
+        accel = jnp.where(
+            st["speed"] < _MIN_SPEED,
+            jnp.maximum(accel, _MIN_SPEED - st["speed"]),
+            accel,
+        )
+        beta = jnp.arctan(0.5 * jnp.tan(steering))
+        x = st["x"] + st["speed"] * jnp.cos(st["heading"] + beta) * dt
+        y = st["y"] + st["speed"] * jnp.sin(st["heading"] + beta) * dt
+        x = x + jnp.where(st["has_impact"], st["impact"][:, 0], 0.0)
+        y = y + jnp.where(st["has_impact"], st["impact"][:, 1], 0.0)
+        crashed = crashed | st["has_impact"]
+        heading = st["heading"] + st["speed"] * jnp.sin(beta) / (
+            _LENGTH / 2.0
+        ) * dt
+        speed = st["speed"] + accel * dt
+        timer = st["timer"] + jnp.where(is_traffic, dt, 0.0)
+
+        st = {
+            **st,
+            "x": x,
+            "y": y,
+            "heading": heading,
+            "speed": speed,
+            "timer": timer,
+            "crashed": crashed,
+            "impact": jnp.zeros_like(st["impact"]),
+            "has_impact": jnp.zeros_like(st["has_impact"]),
+        }
+
+        crashed_now, has_impact, impact = self._collide(st, dt, check_mask)
+        st["crashed"] = st["crashed"] | crashed_now
+        st["has_impact"] = has_impact
+        st["impact"] = impact
+        return st
+
+    def _on_road(self, st):
+        lane = _closest_lane(st["y"], self._lanes)
+        lat = st["y"] - _LANE_WIDTH * lane.astype(jnp.float32)
+        return (
+            (jnp.abs(lat) <= _LANE_WIDTH / 2.0)
+            & (st["x"] >= -_LENGTH)
+            & (st["x"] < _LANE_LENGTH + _LENGTH)
+        )
+
+    def step_env(self, state, action, key):
+        del key
+        cfg = self.config
+        sim_freq = int(cfg["simulation_frequency"])
+        pol_freq = int(cfg["policy_frequency"])
+        frames = max(1, sim_freq // pol_freq)
+        dt = 1.0 / float(sim_freq)
+        v = self._v
+
+        # check_collisions: ego always; traffic per config
+        # (highway_env.cc:515-520,731-736).
+        check = jnp.full((v,), bool(cfg["other_vehicles_check_collisions"]))
+        check = check.at[0].set(True)
+        check_mask = check[:, None] | check[None, :]
+
+        st = self._apply_meta_action(state, action)
+
+        def body(st, _):
+            return self._substep(st, dt, check_mask), None
+
+        st, _ = jax.lax.scan(body, st, None, length=frames)
+
+        reward = self._reward(st)
+        on_road = self._on_road(st)[0]
+        terminated = st["crashed"][0] | (
+            bool(cfg["offroad_terminal"]) & ~on_road
+        )
+        return EnvOut(
+            state=st,
+            obs=self._obs(st),
+            reward=reward,
+            terminated=terminated,
+        )
+
+    def _reward(self, st):
+        cfg = self.config
+        lanes = self._lanes
+        ego_lane = st["target_lane"][0].astype(jnp.float32)
+        forward_speed = st["speed"][0] * jnp.cos(st["heading"][0])
+        scaled = _lmap(
+            forward_speed,
+            float(cfg["reward_speed_low"]),
+            float(cfg["reward_speed_high"]),
+            0.0,
+            1.0,
+        )
+        cr = float(cfg["collision_reward"])
+        rl = float(cfg["right_lane_reward"])
+        hs = float(cfg["high_speed_reward"])
+        reward = (
+            cr * st["crashed"][0].astype(jnp.float32)
+            + rl * ego_lane / max(lanes - 1, 1)
+            + hs * jnp.clip(scaled, 0.0, 1.0)
+        )
+        if bool(cfg["normalize_reward"]):
+            reward = _lmap(reward, cr, hs + rl, 0.0, 1.0)
+        return (reward * self._on_road(st)[0].astype(jnp.float32)).astype(
+            jnp.float32
+        )
+
+    def _obs(self, st):
+        """Kinematics observation (highway_env.cc:904-958)."""
+        cfg = self.config
+        f = int(cfg["observation_vehicles_count"])
+        lanes = self._lanes
+        x, y = st["x"], st["y"]
+        vx, vy = self._vx(st), self._vy(st)
+
+        def norm_row(px, py, pvx, pvy):
+            nx = jnp.clip(
+                _lmap(px, -_PERCEPTION, _PERCEPTION, -1.0, 1.0), -1.0, 1.0
+            )
+            ny = jnp.clip(
+                _lmap(
+                    py,
+                    -_LANE_WIDTH * lanes,
+                    _LANE_WIDTH * lanes,
+                    -1.0,
+                    1.0,
+                ),
+                -1.0,
+                1.0,
+            )
+            nvx = jnp.clip(
+                _lmap(pvx, -2 * _MAX_SPEED, 2 * _MAX_SPEED, -1.0, 1.0),
+                -1.0,
+                1.0,
+            )
+            nvy = jnp.clip(
+                _lmap(pvy, -2 * _MAX_SPEED, 2 * _MAX_SPEED, -1.0, 1.0),
+                -1.0,
+                1.0,
+            )
+            return nx, ny, nvx, nvy
+
+        dx = x - x[0]
+        dy = y - y[0]
+        dist = jnp.sqrt(dx * dx + dy * dy)
+        close = (dist < _PERCEPTION) & (dx > -2.0 * _LENGTH)
+        close = close.at[0].set(False)
+        order = jnp.argsort(jnp.where(close, jnp.abs(dx), jnp.inf))
+        sel = order[: f - 1]
+        sel_ok = close[sel]
+
+        ex, ey, evx, evy = norm_row(x[0], y[0], vx[0], vy[0])
+        ego_row = jnp.stack(
+            [jnp.float32(1.0), ex, ey, evx, evy]
+        )
+        rx, ry, rvx, rvy = norm_row(
+            dx[sel], dy[sel], vx[sel] - vx[0], vy[sel] - vy[0]
+        )
+        rows = jnp.stack(
+            [sel_ok.astype(jnp.float32), rx, ry, rvx, rvy], axis=-1
+        )
+        rows = jnp.where(sel_ok[:, None], rows, 0.0)
+        obs = jnp.concatenate([ego_row[None], rows], axis=0).astype(
+            jnp.float32
+        )
+        return {
+            "obs": obs,
+            "info:speed": st["speed"][0].astype(jnp.float32),
+            "info:crashed": st["crashed"][0],
+        }
