@@ -49,14 +49,21 @@ def test_sync_determinism() -> None:
 def test_async_env_id_routing() -> None:
     pool = HostAsyncPool(num_envs=64, batch_size=16, seed=0)
     try:
+        # Drain all in-flight batches BEFORE re-sending: once an env is
+        # re-sent it can race back into a later batch ahead of slower
+        # originals (completion-order semantics, as in the reference's
+        # async mode), so interleaving send/recv here would be flaky.
         pool.send(np.zeros((64, 1), np.float32), force_reset=True)
         seen = set()
+        batches = []
         for _ in range(4):
             states, env_ids, dones = pool.recv()
             assert states.shape == (16, 5)
             seen.update(env_ids.tolist())
-            pool.send(np.ones((16, 1), np.float32), env_ids)
+            batches.append(env_ids)
         assert seen == set(range(64))
+        for env_ids in batches:
+            pool.send(np.ones((16, 1), np.float32), env_ids)
         for _ in range(4):
             states, env_ids, dones = pool.recv()
             assert len(set(env_ids.tolist())) == 16
