@@ -1,6 +1,7 @@
 """Board-game env family (pgx-class)."""
 
 from .game_2048 import Game2048Env
+from .go import GoEnv
 from .hex import HexEnv
 from .othello import OthelloEnv
 from .poker import KuhnPokerEnv
@@ -8,6 +9,7 @@ from .turn_games import Connect4Env, TicTacToeEnv
 
 __all__ = [
     "Connect4Env",
+    "GoEnv",
     "HexEnv",
     "Game2048Env",
     "KuhnPokerEnv",

@@ -10,3 +10,22 @@ register(task_id="ConnectFour-v1", import_path=_PATH, env_cls="Connect4Env")
 register(task_id="Othello-v1", import_path=_PATH, env_cls="OthelloEnv")
 register(task_id="KuhnPoker-v1", import_path=_PATH, env_cls="KuhnPokerEnv")
 register(task_id="Hex-v1", import_path=_PATH, env_cls="HexEnv")
+
+# Go family (reference ids: envpool/pgx/registration.py:32-74).
+for _size in (9, 13, 19):
+    register(
+        task_id=f"Go{_size}x{_size}-v1",
+        import_path=_PATH,
+        env_cls="GoEnv",
+        board_size=_size,
+        komi=7.5,
+        rules="pgx",
+    )
+    register(
+        task_id=f"ChineseGo{_size}x{_size}-v1",
+        import_path=_PATH,
+        env_cls="GoEnv",
+        board_size=_size,
+        komi=7.5,
+        rules="chinese",
+    )

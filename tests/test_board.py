@@ -219,3 +219,130 @@ def test_hex_vertical_chain_wins() -> None:
             st = out.state
     assert bool(out.terminated)
     assert float(out.reward) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Go (pgx-class; reference ids Go9x9-v1 etc., envpool/pgx/registration.py)
+# ---------------------------------------------------------------------------
+
+
+def _go_env(size=5, **kwargs):
+    from envpool_tpu.envs.board.go import GoEnv
+
+    return GoEnv.from_config(num_envs=1, board_size=size, **kwargs)
+
+
+def _go_play(env, st, moves):
+    key = jax.random.PRNGKey(0)
+    out = None
+    for a in moves:
+        out = env.step_env(st, jnp.int32(a), key)
+        st = out.state
+    return st, out
+
+
+def test_go_capture_single_stone() -> None:
+    env = _go_env()
+    st, obs = env.reset_env(jax.random.PRNGKey(0))
+    # Black surrounds the white stone at (1,1)=6: B 1, W 6, B 5, W 20,
+    # B 7, W 22, B 11 -> capture.
+    st, out = _go_play(env, st, [1, 6, 5, 20, 7, 22, 11])
+    board = np.asarray(st["board"])
+    assert board[1, 1] == 0  # captured
+    for p in (1, 5, 7, 11):
+        assert board[p // 5, p % 5] == 1
+    assert not bool(out.terminated)
+
+
+def test_go_suicide_illegal() -> None:
+    env = _go_env()
+    st, obs = env.reset_env(jax.random.PRNGKey(0))
+    st, out = _go_play(env, st, [1, 6, 5, 20, 7, 22, 11])
+    # White to move; (1,1)=6 is now an eye surrounded by healthy black
+    # chains -> suicide, illegal.
+    legal = np.asarray(out.obs["info:legal_moves"])
+    assert not legal[6]
+    assert legal[25]  # pass always legal
+    # 20 and 22 are white's own stones -> occupied, illegal.
+    assert not legal[20] and not legal[22]
+
+
+def test_go_simple_ko() -> None:
+    env = _go_env()
+    st, obs = env.reset_env(jax.random.PRNGKey(0))
+    # Build the classic ko shape around (1,1)=6 and (1,2)=7.
+    st, out = _go_play(env, st, [1, 2, 5, 8, 11, 12, 24, 6])
+    # Black recaptures at 7, taking the lone white stone at 6.
+    st, out = _go_play(env, st, [7])
+    board = np.asarray(st["board"])
+    assert board[1, 1] == 0 and board[1, 2] == 1
+    legal = np.asarray(out.obs["info:legal_moves"])
+    assert not legal[6]  # ko: immediate recapture banned
+    # White plays elsewhere, black answers elsewhere -> ko clears.
+    st, out = _go_play(env, st, [20, 23])
+    legal = np.asarray(out.obs["info:legal_moves"])
+    assert legal[6]  # white may now retake the ko
+
+
+def test_go_double_pass_scoring() -> None:
+    env = _go_env()
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    # Black stone in the center, then two passes: whole board is black
+    # territory (25 > 0 + 7.5) -> the passing mover... white passes last
+    # and loses; black passed second-to-last.
+    st, out = _go_play(env, st, [12, 25, 25])
+    assert bool(out.terminated)
+    # Last mover is black (moves: B 12, W pass, B pass) -> black wins.
+    assert float(out.reward) == 1.0
+
+    # Empty board, two passes: white wins by komi; last mover is white.
+    st, obs = env.reset_env(key)
+    st, out = _go_play(env, st, [25, 25])
+    assert bool(out.terminated)
+    assert float(out.reward) == 1.0  # mover = white, white wins by komi
+
+
+def test_go_illegal_move_terminates_with_loss() -> None:
+    env = _go_env()
+    st, obs = env.reset_env(jax.random.PRNGKey(0))
+    st, out = _go_play(env, st, [12, 12])  # white plays on black's stone
+    assert bool(out.terminated)
+    assert float(out.reward) == -1.0
+
+
+def test_go_pool_and_registry() -> None:
+    for task in ("Go9x9-v1", "ChineseGo9x9-v1"):
+        assert task in envpool_tpu.list_all_envs()
+    env = envpool_tpu.make("Go9x9-v1", env_type="gymnasium", num_envs=4, seed=1)
+    obs, info = env.reset()
+    assert obs["board"].shape == (4, 9, 9)
+    assert info["legal_moves"].shape == (4, 82)
+    assert info["legal_moves"].all()  # empty board: everything playable
+    # A few random legal moves per env.
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        acts = np.array(
+            [rng.choice(np.flatnonzero(m)) for m in info["legal_moves"]],
+            np.int32,
+        )
+        obs, rew, term, trunc, info = env.step(acts)
+    assert obs["board"].shape == (4, 9, 9)
+
+
+def test_go_multiplayer_protocol_rewards() -> None:
+    """EnvPool per-player rows: winner +1, loser -1 at termination."""
+    from envpool_tpu.envs.board.go import GoEnv
+
+    env = GoEnv.from_config(num_envs=1, board_size=5, max_num_players=2)
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    out = None
+    for a in (12, 25, 25):
+        act = jnp.full((2,), a, jnp.int32)
+        out = env.step_env(st, act, key)
+        st = out.state
+    assert bool(out.terminated)
+    rewards = np.asarray(out.reward)
+    assert rewards.shape == (2,)
+    assert rewards[0] == 1.0 and rewards[1] == -1.0  # black wins by area
