@@ -3,6 +3,7 @@
 from .game_2048 import Game2048Env
 from .go import GoEnv
 from .hex import HexEnv
+from .leduc import LeducHoldemEnv
 from .othello import OthelloEnv
 from .poker import KuhnPokerEnv
 from .turn_games import Connect4Env, TicTacToeEnv
@@ -13,6 +14,7 @@ __all__ = [
     "HexEnv",
     "Game2048Env",
     "KuhnPokerEnv",
+    "LeducHoldemEnv",
     "OthelloEnv",
     "TicTacToeEnv",
 ]

@@ -9,6 +9,7 @@ register(task_id="TicTacToe-v1", import_path=_PATH, env_cls="TicTacToeEnv")
 register(task_id="ConnectFour-v1", import_path=_PATH, env_cls="Connect4Env")
 register(task_id="Othello-v1", import_path=_PATH, env_cls="OthelloEnv")
 register(task_id="KuhnPoker-v1", import_path=_PATH, env_cls="KuhnPokerEnv")
+register(task_id="LeducHoldem-v1", import_path=_PATH, env_cls="LeducHoldemEnv")
 register(task_id="Hex-v1", import_path=_PATH, env_cls="HexEnv")
 
 # Go family (reference ids: envpool/pgx/registration.py:32-74).

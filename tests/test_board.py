@@ -346,3 +346,98 @@ def test_go_multiplayer_protocol_rewards() -> None:
     rewards = np.asarray(out.reward)
     assert rewards.shape == (2,)
     assert rewards[0] == 1.0 and rewards[1] == -1.0  # black wins by area
+
+
+# ---------------------------------------------------------------------------
+# Leduc hold'em (reference id LeducHoldem-v1, envpool/pgx/registration.py)
+# ---------------------------------------------------------------------------
+
+
+def _leduc_state(cards):
+    return {
+        "cards": jnp.asarray(cards, jnp.int32),
+        "bets": jnp.ones(2, jnp.int32),
+        "round": jnp.int32(0),
+        "raises": jnp.int32(0),
+        "acted": jnp.int32(0),
+        "player": jnp.int32(0),
+    }
+
+
+def test_leduc_raise_call_fold() -> None:
+    from envpool_tpu.envs.board.leduc import LeducHoldemEnv
+
+    env = LeducHoldemEnv.from_config(num_envs=1)
+    key = jax.random.PRNGKey(0)
+    st = _leduc_state([2, 0, 1])
+    # Round 1: p0 raises (2), p1 calls -> round 2 opens, public revealed.
+    out = env.step_env(st, jnp.int32(1), key)
+    assert not bool(out.terminated)
+    np.testing.assert_array_equal(np.asarray(out.state["bets"]), [3, 1])
+    out = env.step_env(out.state, jnp.int32(0), key)
+    assert not bool(out.terminated)
+    assert int(out.state["round"]) == 1
+    assert int(out.state["player"]) == 0
+    assert int(out.obs["obs:public_card"]) == 1  # revealed in round 2
+    np.testing.assert_array_equal(np.asarray(out.state["bets"]), [3, 3])
+    # Round 2: p0 raises (4), p1 folds -> p0 wins p1's 3 chips.
+    out = env.step_env(out.state, jnp.int32(1), key)
+    np.testing.assert_array_equal(np.asarray(out.state["bets"]), [7, 3])
+    out = env.step_env(out.state, jnp.int32(2), key)
+    assert bool(out.terminated)
+    assert float(out.reward) == -3.0  # mover = p1 (folder) loses 3
+
+
+def test_leduc_showdown_pair_beats_rank() -> None:
+    from envpool_tpu.envs.board.leduc import LeducHoldemEnv
+
+    env = LeducHoldemEnv.from_config(num_envs=1)
+    key = jax.random.PRNGKey(0)
+    st = _leduc_state([0, 2, 0])  # p0 J pairs the public J; p1 holds K
+    out = None
+    for a in (0, 0, 0, 0):  # check-check both rounds
+        out = env.step_env(st, jnp.int32(a), key)
+        st = out.state
+    assert bool(out.terminated)
+    assert float(out.reward) == -1.0  # mover = p1, p0 wins the ante
+
+    st = _leduc_state([1, 1, 2])  # equal ranks, no pair: split pot
+    out = None
+    for a in (0, 0, 0, 0):
+        out = env.step_env(st, jnp.int32(a), key)
+        st = out.state
+    assert bool(out.terminated)
+    assert float(out.reward) == 0.0
+
+
+def test_leduc_legal_mask() -> None:
+    from envpool_tpu.envs.board.leduc import LeducHoldemEnv
+
+    env = LeducHoldemEnv.from_config(num_envs=1)
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    legal = np.asarray(obs["info:legal_moves"])
+    assert legal[0] and legal[1] and not legal[2]  # no bet to fold to
+    out = env.step_env(st, jnp.int32(1), key)  # p0 raises
+    legal = np.asarray(out.obs["info:legal_moves"])
+    assert legal[0] and legal[1] and legal[2]
+    out = env.step_env(out.state, jnp.int32(1), key)  # p1 re-raises (cap)
+    legal = np.asarray(out.obs["info:legal_moves"])
+    assert legal[0] and not legal[1] and legal[2]
+
+
+def test_leduc_pool() -> None:
+    env = envpool_tpu.make(
+        "LeducHoldem-v1", env_type="gymnasium", num_envs=8, seed=0
+    )
+    obs, info = env.reset()
+    assert obs["card"].shape == (8,)
+    assert (obs["public_card"] == 3).all()  # hidden in round 1
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        acts = np.array(
+            [rng.choice(np.flatnonzero(m)) for m in info["legal_moves"]],
+            np.int32,
+        )
+        obs, rew, term, trunc, info = env.step(acts)
+    assert obs["chips"].max() <= 13
