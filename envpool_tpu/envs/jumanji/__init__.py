@@ -1,6 +1,17 @@
 """Jumanji-class env family."""
 
+from .cleaner import CleanerEnv
 from .combinatorial import KnapsackEnv, MazeEnv, TSPEnv
+from .puzzles import MinesweeperEnv, RubiksCubeEnv, SlidingTilePuzzleEnv
 from .snake import SnakeEnv
 
-__all__ = ["KnapsackEnv", "MazeEnv", "SnakeEnv", "TSPEnv"]
+__all__ = [
+    "CleanerEnv",
+    "KnapsackEnv",
+    "MazeEnv",
+    "MinesweeperEnv",
+    "RubiksCubeEnv",
+    "SlidingTilePuzzleEnv",
+    "SnakeEnv",
+    "TSPEnv",
+]

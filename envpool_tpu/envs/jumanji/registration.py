@@ -1,33 +1,33 @@
 """Jumanji-class registration (subset of ``envpool/jumanji/``).
 
-Reference ids follow ``{Name}-v1``; the reference registers 24 envs
-(``jumanji/jumanji_env.h:20-43``) — this round covers Snake, Knapsack,
-TSP, Maze (2048 lives in the board family as ``Play2048-v1``).
+Reference ids and per-task step limits follow
+``envpool/jumanji/registration.py:28-55`` (jumanji v1.1.1), including the
+``Jumanji/<id>`` aliases.  Envs with an *internal* time-limit termination
+(SlidingTilePuzzle, RubiksCube, Cleaner) register ``max_episode_steps =
+limit + 1`` so the env's own terminal fires first, mirroring the
+reference's ``CurrentMaxEpisodeSteps() = TimeLimit + 1`` overrides.
 """
 
 from ...core.registry import register
 
 _PATH = "envpool_tpu.envs.jumanji"
 
-register(
-    task_id="Snake-v1",
-    import_path=_PATH,
-    env_cls="SnakeEnv",
-    max_episode_steps=4000,
-)
-register(
-    task_id="Knapsack-v1",
-    import_path=_PATH,
-    env_cls="KnapsackEnv",
-    num_items=50,
-    total_budget=12.5,
-)
-register(
-    task_id="TSP-v1",
-    import_path=_PATH,
-    env_cls="TSPEnv",
-    num_cities=20,
-)
+
+def _reg(task_id, env_cls, **kwargs):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls=env_cls,
+        aliases=(f"Jumanji/{task_id}",),
+        **kwargs,
+    )
+
+
+_reg("Snake-v1", "SnakeEnv", max_episode_steps=4000)
+_reg("Knapsack-v1", "KnapsackEnv", num_items=50, total_budget=12.5)
+_reg("TSP-v1", "TSPEnv", num_cities=20)
+_reg("Maze-v0", "MazeEnv", rows=10, cols=10, max_episode_steps=100)
+# Back-compat id from earlier rounds of this build.
 register(
     task_id="Maze-v1",
     import_path=_PATH,
@@ -36,3 +36,20 @@ register(
     cols=10,
     max_episode_steps=400,
 )
+_reg("Minesweeper-v0", "MinesweeperEnv", max_episode_steps=90)
+_reg("SlidingTilePuzzle-v0", "SlidingTilePuzzleEnv", max_episode_steps=501)
+_reg(
+    "RubiksCube-v0",
+    "RubiksCubeEnv",
+    num_scrambles=100,
+    time_limit=200,
+    max_episode_steps=201,
+)
+_reg(
+    "RubiksCube-partly-scrambled-v0",
+    "RubiksCubeEnv",
+    num_scrambles=20,
+    time_limit=20,
+    max_episode_steps=21,
+)
+_reg("Cleaner-v0", "CleanerEnv", max_episode_steps=101)
