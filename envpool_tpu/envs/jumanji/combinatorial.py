@@ -251,3 +251,246 @@ class MazeEnv(TpuEnv):
             reward=reached.astype(jnp.float32),
             terminated=reached,
         )
+
+
+class CVRPEnv(TpuEnv):
+    """Capacitated vehicle routing (jumanji CVRP-v1).
+
+    Behavioral reference: ``envpool/jumanji/cvrp_env.h`` — 20 customers +
+    depot (node 0), unit vehicle capacity, action = next node; visiting the
+    depot refills capacity; reward = −travel distance per hop, −1.0 and
+    done on an invalid choice (visited node, over-capacity demand, or
+    depot-to-depot); done when all customers are served or after 40 steps.
+    Instances follow jumanji's generator (coordinates ~ U(0,1)², integer
+    demands 1..max_demand normalized by vehicle capacity) instead of the
+    reference's fixed-line default; fixed instances can be injected via the
+    ``coordinates``/``demands`` configs for deterministic tests.
+    """
+
+    DEFAULT_CONFIG = {
+        "num_nodes": 21,        # customers + depot
+        "max_demand": 10,
+        "vehicle_capacity": 30,
+        "time_limit": 40,
+        "coordinates": (),      # flat (x0,y0,x1,y1,...) override
+        "demands": (),          # per-node override (node 0 must be 0)
+    }
+
+    @property
+    def _n(self) -> int:
+        return int(self.config["num_nodes"])
+
+    @property
+    def _tlen(self) -> int:
+        return int(self.config["time_limit"])
+
+    def state_spec(self):
+        n = self._n
+        return {
+            "obs:coordinates": ArraySpec(jnp.float32, (n, 2), 0.0, 1.0),
+            "obs:demands": ArraySpec(jnp.float32, (n,), 0.0, 1.0),
+            "obs:unvisited_nodes": ArraySpec(jnp.bool_, (n,)),
+            "obs:position": ArraySpec(jnp.int32, (), 0, n - 1),
+            "obs:trajectory": ArraySpec(jnp.int32, (self._tlen,), 0, n),
+            "obs:capacity": ArraySpec(jnp.float32, (), 0.0, 1.0),
+            "obs:action_mask": ArraySpec(jnp.bool_, (n,)),
+        }
+
+    def action_spec(self):
+        return {
+            "action": ArraySpec(jnp.int32, (), 0, self._n - 1, is_discrete=True)
+        }
+
+    def _mask(self, st):
+        depot_ok = st["position"] != 0
+        nodes_ok = st["unvisited"] & (st["demands"] <= st["capacity"] + 1e-9)
+        return nodes_ok.at[0].set(depot_ok)
+
+    def _obs(self, st):
+        return {
+            "obs:coordinates": st["coords"],
+            "obs:demands": st["demands"],
+            "obs:unvisited_nodes": st["unvisited"],
+            "obs:position": st["position"],
+            "obs:trajectory": st["trajectory"],
+            "obs:capacity": st["capacity"],
+            "obs:action_mask": self._mask(st),
+        }
+
+    def reset_env(self, key):
+        n = self._n
+        kc, kd = jax.random.split(key)
+        if len(self.config["coordinates"]):
+            coords = jnp.asarray(
+                self.config["coordinates"], jnp.float32
+            ).reshape(n, 2)
+        else:
+            coords = jax.random.uniform(kc, (n, 2))
+        if len(self.config["demands"]):
+            demands = jnp.asarray(self.config["demands"], jnp.float32)
+        else:
+            raw = jax.random.randint(
+                kd, (n,), 1, int(self.config["max_demand"]) + 1
+            )
+            demands = raw.astype(jnp.float32) / float(
+                self.config["vehicle_capacity"]
+            )
+        demands = demands.at[0].set(0.0)
+        st = {
+            "coords": coords,
+            "demands": demands,
+            "unvisited": jnp.arange(n) != 0,
+            "position": jnp.int32(0),
+            "trajectory": jnp.zeros(self._tlen, jnp.int32),
+            "tsize": jnp.int32(1),
+            "capacity": jnp.float32(1.0),
+            "step": jnp.int32(0),
+        }
+        return st, self._obs(st)
+
+    def step_env(self, state, action, key):
+        n = self._n
+        node = jnp.clip(action, 0, n - 1)
+        valid = self._mask(state)[node]
+        dist = jnp.linalg.norm(
+            state["coords"][state["position"]] - state["coords"][node]
+        )
+        reward = jnp.where(valid, -dist, -1.0).astype(jnp.float32)
+
+        is_depot = node == 0
+        position = jnp.where(valid, node, state["position"])
+        capacity = jnp.where(
+            valid,
+            jnp.where(
+                is_depot, 1.0, state["capacity"] - state["demands"][node]
+            ),
+            state["capacity"],
+        ).astype(jnp.float32)
+        unvisited = jnp.where(
+            valid & ~is_depot,
+            state["unvisited"].at[node].set(False),
+            state["unvisited"],
+        )
+        can_append = valid & (state["tsize"] < self._tlen)
+        trajectory = jnp.where(
+            can_append,
+            state["trajectory"].at[
+                jnp.minimum(state["tsize"], self._tlen - 1)
+            ].set(node),
+            state["trajectory"],
+        )
+        tsize = state["tsize"] + can_append.astype(jnp.int32)
+        step = state["step"] + 1
+        all_visited = ~unvisited[1:].any()
+        terminated = ~valid | all_visited | (step >= self._tlen)
+        st = {
+            "coords": state["coords"],
+            "demands": state["demands"],
+            "unvisited": unvisited,
+            "position": position,
+            "trajectory": trajectory,
+            "tsize": tsize,
+            "capacity": capacity,
+            "step": step,
+        }
+        return EnvOut(
+            state=st, obs=self._obs(st), reward=reward, terminated=terminated
+        )
+
+
+class GraphColoringEnv(TpuEnv):
+    """Graph coloring (jumanji GraphColoring-v1).
+
+    Behavioral reference: ``envpool/jumanji/graph_coloring_env.h`` — 20
+    nodes, Erdős–Rényi edges (p = 0.8) resampled per episode; nodes are
+    colored in index order; the action picks a color for the current node;
+    a color already used by a colored neighbor is invalid (reward −20,
+    done); when the last node is colored the reward is −(number of unique
+    colors used).
+    """
+
+    DEFAULT_CONFIG = {"num_nodes": 20, "edge_prob": 0.8, "edges": ()}
+
+    @property
+    def _n(self) -> int:
+        return int(self.config["num_nodes"])
+
+    def state_spec(self):
+        n = self._n
+        return {
+            "obs:adj_matrix": ArraySpec(jnp.bool_, (n, n)),
+            "obs:action_mask": ArraySpec(jnp.bool_, (n,)),
+            "obs:colors": ArraySpec(jnp.int32, (n,), -1, n - 1),
+            "obs:current_node_index": ArraySpec(jnp.int32, (), 0, n - 1),
+        }
+
+    def action_spec(self):
+        return {
+            "action": ArraySpec(jnp.int32, (), 0, self._n - 1, is_discrete=True)
+        }
+
+    def _mask(self, adj, colors, node):
+        n = self._n
+        # Color c invalid iff some neighbor already wears c.
+        neighbor_colored = adj[node] & (colors >= 0)
+        used = (
+            jnp.zeros(n + 1, jnp.bool_)
+            .at[jnp.where(neighbor_colored, colors, n)]
+            .set(True)
+        )
+        return ~used[:n]
+
+    def _obs(self, st):
+        return {
+            "obs:adj_matrix": st["adj"],
+            "obs:action_mask": self._mask(st["adj"], st["colors"], st["node"]),
+            "obs:colors": st["colors"],
+            "obs:current_node_index": st["node"],
+        }
+
+    def reset_env(self, key):
+        n = self._n
+        if len(self.config["edges"]):
+            adj = jnp.zeros((n, n), jnp.bool_)
+            for a, b in self.config["edges"]:
+                adj = adj.at[a, b].set(True).at[b, a].set(True)
+        else:
+            upper = jax.random.bernoulli(
+                key, float(self.config["edge_prob"]), (n, n)
+            )
+            tri = jnp.triu(upper, k=1)
+            adj = tri | tri.T
+        st = {
+            "adj": adj,
+            "colors": jnp.full(n, -1, jnp.int32),
+            "node": jnp.int32(0),
+        }
+        return st, self._obs(st)
+
+    def step_env(self, state, action, key):
+        n = self._n
+        color = jnp.clip(action, 0, n - 1)
+        invalid = ~self._mask(state["adj"], state["colors"], state["node"])[
+            color
+        ]
+        colors = state["colors"].at[state["node"]].set(color)
+        all_colored = (colors >= 0).all()
+        used = (
+            jnp.zeros(n + 1, jnp.int32)
+            .at[jnp.where(colors >= 0, colors, n)]
+            .max(1)
+        )
+        num_unique = used[:n].sum()
+        reward = jnp.where(
+            invalid,
+            -float(n),
+            jnp.where(all_colored, -num_unique.astype(jnp.float32), 0.0),
+        ).astype(jnp.float32)
+        node = (state["node"] + 1) % n
+        st = {"adj": state["adj"], "colors": colors, "node": node}
+        return EnvOut(
+            state=st,
+            obs=self._obs(st),
+            reward=reward,
+            terminated=invalid | all_colored,
+        )

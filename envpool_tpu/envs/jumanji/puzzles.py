@@ -421,3 +421,212 @@ class RubiksCubeEnv(TpuEnv):
             reward=solved.astype(jnp.float32),
             terminated=terminated,
         )
+
+
+# ---------------------------------------------------------------------------
+# Sudoku
+# ---------------------------------------------------------------------------
+
+
+class SudokuEnv(TpuEnv):
+    """9×9 Sudoku (jumanji Sudoku-v0); action = (row, col, digit 0-8).
+
+    Behavioral reference: ``envpool/jumanji/sudoku_env.h`` — board cells
+    −1 = empty else digit 0..8; an invalid placement (filled cell or
+    row/column/box conflict) still writes the digit but ends the episode;
+    otherwise the episode ends when no valid placement remains or the
+    board is solved (reward 1, else 0).
+
+    The reference samples puzzles from bundled .npy databases
+    ("mixed" / "very-easy"); this build generates puzzles **procedurally
+    on device**: the canonical valid grid is shuffled by digit relabeling,
+    in-band row and in-stack column permutations and band/stack swaps (all
+    symmetries of the solution grid), then ``num_holes`` cells are blanked
+    (always solvable — the generating grid remains a solution).  The
+    ``sudoku_database`` config maps to hole counts; ``initial_board``
+    injects fixed puzzles for deterministic tests.
+    """
+
+    DEFAULT_CONFIG = {
+        "sudoku_database": "mixed",  # "mixed" -> 50 holes, "very-easy" -> 30
+        "num_holes": 0,              # explicit override (0 = by database)
+        "initial_board": (),
+    }
+
+    def _holes(self) -> int:
+        if int(self.config["num_holes"]):
+            return int(self.config["num_holes"])
+        return {"mixed": 50, "very-easy": 30}[
+            str(self.config["sudoku_database"])
+        ]
+
+    def state_spec(self):
+        return {
+            "obs:board": ArraySpec(jnp.int32, (9, 9), -1, 8),
+            "obs:action_mask": ArraySpec(jnp.bool_, (9, 9, 9)),
+        }
+
+    def action_spec(self):
+        return {
+            "action": ArraySpec(jnp.int32, (3,), 0, 8, is_discrete=True)
+        }
+
+    @staticmethod
+    def _box(r, c):
+        return (r // 3) * 3 + c // 3
+
+    def _mask(self, board):
+        rows = jnp.arange(9)
+        filled = board >= 0
+        val = jnp.where(filled, board, 9)  # 9 = sentinel slot
+        row_used = jnp.zeros((9, 10), jnp.bool_).at[
+            jnp.repeat(rows, 9), val.reshape(-1)
+        ].set(True)[:, :9]
+        col_used = jnp.zeros((9, 10), jnp.bool_).at[
+            jnp.tile(rows, 9), val.reshape(-1)
+        ].set(True)[:, :9]
+        box_ids = self._box(*jnp.meshgrid(rows, rows, indexing="ij"))
+        box_used = jnp.zeros((9, 10), jnp.bool_).at[
+            box_ids.reshape(-1), val.reshape(-1)
+        ].set(True)[:, :9]
+        ok = (
+            ~row_used[:, None, :]
+            & ~col_used[None, :, :]
+            & ~box_used[box_ids][:, :, :]
+        )
+        return ok & ~filled[:, :, None]
+
+    @staticmethod
+    def _is_solved(board):
+        if board.dtype != jnp.int32:
+            board = board.astype(jnp.int32)
+        filled = (board >= 0).all()
+        onehot = jax.nn.one_hot(jnp.clip(board, 0, 8), 9, dtype=jnp.int32)
+        rows_ok = (onehot.sum(1) == 1).all()
+        cols_ok = (onehot.sum(0) == 1).all()
+        boxes = onehot.reshape(3, 3, 3, 3, 9).sum((1, 3))
+        boxes_ok = (boxes == 1).all()
+        return filled & rows_ok & cols_ok & boxes_ok
+
+    def _obs(self, board):
+        return {"obs:board": board, "obs:action_mask": self._mask(board)}
+
+    def reset_env(self, key):
+        init = self.config["initial_board"]
+        if len(init):
+            board = jnp.asarray(init, jnp.int32).reshape(9, 9)
+            st = {"board": board}
+            return st, self._obs(board)
+        # Canonical solution grid: base[r, c] = (3*(r%3) + r//3 + c) % 9.
+        r = jnp.arange(9)
+        base = (3 * (r[:, None] % 3) + r[:, None] // 3 + r[None, :]) % 9
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+        digits = jax.random.permutation(k1, 9)
+        grid = digits[base]
+        # Permute rows within bands + bands themselves (same for columns).
+        def line_perm(ka, kb):
+            within = jax.random.permutation(
+                ka, jnp.arange(3)[None, :].repeat(3, 0), axis=1,
+                independent=True,
+            )
+            bands = jax.random.permutation(kb, 3)
+            return (bands[:, None] * 3 + within[bands]).reshape(-1)
+
+        grid = grid[line_perm(k2, k3)][:, line_perm(k4, k5)]
+        holes = jax.random.permutation(k6, 81)[: self._holes()]
+        board = grid.reshape(-1).at[holes].set(-1).reshape(9, 9)
+        st = {"board": board.astype(jnp.int32)}
+        return st, self._obs(st["board"])
+
+    def step_env(self, state, action, key):
+        board = state["board"]
+        rr = jnp.clip(action[0], 0, 8)
+        cc = jnp.clip(action[1], 0, 8)
+        vv = jnp.clip(action[2], 0, 8)
+        valid = self._mask(board)[rr, cc, vv]
+        new_board = board.at[rr, cc].set(vv)
+        solved = self._is_solved(new_board)
+        any_left = self._mask(new_board).any()
+        terminated = ~valid | ~any_left | solved
+        st = {"board": new_board}
+        return EnvOut(
+            state=st,
+            obs=self._obs(new_board),
+            reward=solved.astype(jnp.float32),
+            terminated=terminated,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Game2048 (jumanji flavor)
+# ---------------------------------------------------------------------------
+
+
+class JumanjiGame2048Env(TpuEnv):
+    """Jumanji Game2048-v1: 2048 with action mask + highest-tile info.
+
+    Behavioral reference: ``envpool/jumanji/game2048_env.h`` — same core
+    rules as the pgx-family ``Play2048-v1`` (exponent board, merge reward
+    2^k, spawn after moving moves, done when stuck) but with the jumanji
+    action order (0 = up, 1 = right, 2 = down, 3 = left), an
+    ``obs:action_mask`` of moves that change the board, and
+    ``info:highest_tile`` (the tile *value*, 1 if empty board).
+    """
+
+    DEFAULT_CONFIG = {}
+
+    def state_spec(self):
+        return {
+            "obs:board": ArraySpec(jnp.int32, (4, 4), 0, 30),
+            "obs:action_mask": ArraySpec(jnp.bool_, (4,)),
+            "info:highest_tile": ArraySpec(jnp.int32, (), 1, 1 << 30),
+        }
+
+    def action_spec(self):
+        return {"action": ArraySpec(jnp.int32, (), 0, 3, is_discrete=True)}
+
+    @staticmethod
+    def _movable(board):
+        from ..board.game_2048 import _move
+
+        flags = []
+        for jumanji_a in range(4):
+            nb, _ = _move(board, jnp.int32((jumanji_a + 1) % 4))
+            flags.append((nb != board).any())
+        return jnp.stack(flags)
+
+    def _obs(self, board):
+        exp = board.max()
+        return {
+            "obs:board": board,
+            "obs:action_mask": self._movable(board),
+            "info:highest_tile": jnp.where(exp == 0, 1, 1 << exp).astype(
+                jnp.int32
+            ),
+        }
+
+    def reset_env(self, key):
+        from ..board.game_2048 import Game2048Env
+
+        spawn = Game2048Env._spawn
+        k1, k2 = jax.random.split(key)
+        board = jnp.zeros((4, 4), jnp.int32)
+        board = spawn(self, k1, board)
+        board = spawn(self, k2, board)
+        return board, self._obs(board)
+
+    def step_env(self, state, action, key):
+        from ..board.game_2048 import Game2048Env, _move
+
+        new_board, reward = _move(state, (jnp.clip(action, 0, 3) + 1) % 4)
+        changed = (new_board != state).any()
+        new_board = jnp.where(
+            changed, Game2048Env._spawn(self, key, new_board), state
+        )
+        terminated = ~self._movable(new_board).any()
+        return EnvOut(
+            state=new_board,
+            obs=self._obs(new_board),
+            reward=jnp.where(changed, reward, 0.0).astype(jnp.float32),
+            terminated=terminated,
+        )

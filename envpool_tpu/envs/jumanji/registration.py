@@ -53,3 +53,13 @@ _reg(
     max_episode_steps=21,
 )
 _reg("Cleaner-v0", "CleanerEnv", max_episode_steps=101)
+_reg("CVRP-v1", "CVRPEnv", max_episode_steps=41)
+_reg("GraphColoring-v1", "GraphColoringEnv", max_episode_steps=21)
+_reg("Sudoku-v0", "SudokuEnv", sudoku_database="mixed", max_episode_steps=82)
+_reg(
+    "Sudoku-very-easy-v0",
+    "SudokuEnv",
+    sudoku_database="very-easy",
+    max_episode_steps=82,
+)
+_reg("Game2048-v1", "JumanjiGame2048Env", max_episode_steps=1000)

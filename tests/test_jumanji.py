@@ -251,3 +251,147 @@ def test_new_jumanji_pools() -> None:
             else:
                 acts = rng.integers(0, n_act, 4).astype(np.int32)
             obs, rew, term, trunc, info = env.step(acts)
+
+
+# ---------------------------------------------------------------------------
+# CVRP / GraphColoring / Sudoku / Game2048 (jumanji flavor)
+# ---------------------------------------------------------------------------
+
+
+def test_cvrp_route_and_capacity() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from envpool_tpu.envs.jumanji import CVRPEnv
+
+    # 2 customers + depot on a unit line; demands 0.6 each: after serving
+    # one customer the other exceeds capacity -> must return to the depot.
+    env = CVRPEnv.from_config(
+        num_envs=1,
+        num_nodes=3,
+        coordinates=(0.0, 0.0, 1.0, 0.0, 0.0, 1.0),
+        demands=(0.0, 0.6, 0.6),
+    )
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    mask = np.asarray(obs["obs:action_mask"])
+    np.testing.assert_array_equal(mask, [False, True, True])  # depot blocked
+    out = env.step_env(st, jnp.int32(1), key)
+    assert float(out.reward) == -1.0  # distance depot->node1
+    mask = np.asarray(out.obs["obs:action_mask"])
+    np.testing.assert_array_equal(mask, [True, False, False])  # over capacity
+    out = env.step_env(out.state, jnp.int32(0), key)  # refill at depot
+    assert not bool(out.terminated)
+    assert float(out.obs["obs:capacity"]) == 1.0
+    out = env.step_env(out.state, jnp.int32(2), key)
+    assert bool(out.terminated)  # all customers served
+    assert float(out.reward) == -1.0
+    # Invalid choice (revisit) -> -1 reward and done.
+    st2, _ = env.reset_env(key)
+    out2 = env.step_env(st2, jnp.int32(1), key)
+    out2 = env.step_env(out2.state, jnp.int32(1), key)
+    assert bool(out2.terminated) and float(out2.reward) == -1.0
+
+
+def test_graph_coloring_rewards() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from envpool_tpu.envs.jumanji import GraphColoringEnv
+
+    # Path graph 0-1-2 on 3 nodes: 2 colors suffice.
+    env = GraphColoringEnv.from_config(
+        num_envs=1, num_nodes=3, edges=((0, 1), (1, 2))
+    )
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    assert bool(np.asarray(obs["obs:action_mask"]).all())
+    out = env.step_env(st, jnp.int32(0), key)       # node0 <- color0
+    mask = np.asarray(out.obs["obs:action_mask"])
+    np.testing.assert_array_equal(mask, [False, True, True])
+    out = env.step_env(out.state, jnp.int32(1), key)  # node1 <- color1
+    out = env.step_env(out.state, jnp.int32(0), key)  # node2 <- color0
+    assert bool(out.terminated)
+    assert float(out.reward) == -2.0  # two unique colors
+    # Conflicting color: reward -num_nodes and done.
+    st, _ = env.reset_env(key)
+    out = env.step_env(st, jnp.int32(0), key)
+    out = env.step_env(out.state, jnp.int32(0), key)  # neighbor same color
+    assert bool(out.terminated) and float(out.reward) == -3.0
+
+
+def test_sudoku_placement_and_solve() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from envpool_tpu.envs.jumanji import SudokuEnv
+
+    # Canonical grid with one hole at (0, 0): the only valid action there
+    # restores the missing digit and solves the board.
+    r = np.arange(9)
+    grid = (3 * (r[:, None] % 3) + r[:, None] // 3 + r[None, :]) % 9
+    missing = int(grid[0, 0])
+    puzzle = grid.copy()
+    puzzle[0, 0] = -1
+    env = SudokuEnv.from_config(
+        num_envs=1, initial_board=tuple(puzzle.reshape(-1))
+    )
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    mask = np.asarray(obs["obs:action_mask"])
+    assert mask.sum() == 1 and mask[0, 0, missing]
+    out = env.step_env(
+        st, jnp.asarray([0, 0, missing], jnp.int32), key
+    )
+    assert bool(out.terminated) and float(out.reward) == 1.0
+    # A conflicting digit ends the episode with reward 0.
+    st, _ = env.reset_env(key)
+    wrong = (missing + 1) % 9
+    out = env.step_env(st, jnp.asarray([0, 0, wrong], jnp.int32), key)
+    assert bool(out.terminated) and float(out.reward) == 0.0
+    # Random generated puzzles expose a consistent mask.
+    env2 = SudokuEnv.from_config(num_envs=1)
+    st2, obs2 = env2.reset_env(jax.random.PRNGKey(5))
+    assert (np.asarray(st2["board"]) == -1).sum() == 50
+    assert np.asarray(obs2["obs:action_mask"]).any()
+
+
+def test_jumanji_game2048() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from envpool_tpu.envs.jumanji import JumanjiGame2048Env
+
+    env = JumanjiGame2048Env.from_config(num_envs=1)
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    assert int(obs["info:highest_tile"]) in (2, 4)
+    mask = np.asarray(obs["obs:action_mask"])
+    assert mask.any()
+    a = int(np.flatnonzero(mask)[0])
+    out = env.step_env(st, jnp.int32(a), key)
+    assert (np.asarray(out.state) > 0).sum() >= 2
+
+
+def test_jumanji_wave3_pools() -> None:
+    rng = np.random.default_rng(1)
+    for task in (
+        "CVRP-v1",
+        "GraphColoring-v1",
+        "Sudoku-v0",
+        "Sudoku-very-easy-v0",
+        "Game2048-v1",
+    ):
+        assert f"Jumanji/{task}" in envpool_tpu.list_all_envs()
+        env = envpool_tpu.make(task, env_type="gymnasium", num_envs=4, seed=0)
+        obs, info = env.reset()
+        for _ in range(3):
+            if task == "Sudoku-v0" or task == "Sudoku-very-easy-v0":
+                acts = rng.integers(0, 9, (4, 3)).astype(np.int32)
+            elif task == "CVRP-v1":
+                acts = rng.integers(0, 21, 4).astype(np.int32)
+            elif task == "GraphColoring-v1":
+                acts = rng.integers(0, 20, 4).astype(np.int32)
+            else:
+                acts = rng.integers(0, 4, 4).astype(np.int32)
+            obs, rew, term, trunc, info = env.step(acts)
