@@ -2,5 +2,22 @@
 
 from .babyai import BabyAIGoToEnv
 from .minigrid_env import MiniGridEnv
+from .tasks2 import (
+    DynamicObstaclesEnv,
+    FetchEnv,
+    GoToEnv,
+    MemoryEnv,
+    RedBlueDoorsEnv,
+    UnlockEnv,
+)
 
-__all__ = ["BabyAIGoToEnv", "MiniGridEnv"]
+__all__ = [
+    "BabyAIGoToEnv",
+    "DynamicObstaclesEnv",
+    "FetchEnv",
+    "GoToEnv",
+    "MemoryEnv",
+    "MiniGridEnv",
+    "RedBlueDoorsEnv",
+    "UnlockEnv",
+]

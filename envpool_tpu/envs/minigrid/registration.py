@@ -100,3 +100,120 @@ register(
     size=8,
     max_episode_steps=256,
 )
+
+# --- wave 2 (tasks2.py) ----------------------------------------------------
+
+for n in (5,):
+    _reg(
+        "MiniGrid-SimpleCrossingS11N5-v0",
+        4 * 121,
+        env_name="crossing",
+        size=11,
+        num_crossings=n,
+        obstacle_type="wall",
+    )
+    _reg(
+        "MiniGrid-LavaCrossingS11N5-v0",
+        4 * 121,
+        env_name="crossing",
+        size=11,
+        num_crossings=n,
+        obstacle_type="lava",
+    )
+
+for task_id, size, n_obstacles, random_start in (
+    ("MiniGrid-Dynamic-Obstacles-5x5-v0", 5, 2, False),
+    ("MiniGrid-Dynamic-Obstacles-Random-5x5-v0", 5, 2, True),
+    ("MiniGrid-Dynamic-Obstacles-6x6-v0", 6, 3, False),
+    ("MiniGrid-Dynamic-Obstacles-Random-6x6-v0", 6, 3, True),
+    ("MiniGrid-Dynamic-Obstacles-8x8-v0", 8, 4, False),
+    ("MiniGrid-Dynamic-Obstacles-16x16-v0", 16, 8, False),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="DynamicObstaclesEnv",
+        max_episode_steps=4 * size * size,
+        size=size,
+        n_obstacles=n_obstacles,
+        random_start=random_start,
+    )
+
+for task_id, size, num_objs in (
+    ("MiniGrid-Fetch-5x5-N2-v0", 5, 2),
+    ("MiniGrid-Fetch-6x6-N2-v0", 6, 2),
+    ("MiniGrid-Fetch-8x8-N3-v0", 8, 3),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="FetchEnv",
+        max_episode_steps=5 * size * size,
+        size=size,
+        num_objs=num_objs,
+    )
+
+for size in (5, 6, 8):
+    register(
+        task_id=f"MiniGrid-GoToDoor-{size}x{size}-v0",
+        import_path=_PATH,
+        env_cls="GoToEnv",
+        env_name="goto_door",
+        max_episode_steps=4 * size * size,
+        size=size,
+    )
+
+for task_id, size, num_objs in (
+    ("MiniGrid-GoToObject-6x6-N2-v0", 6, 2),
+    ("MiniGrid-GoToObject-8x8-N2-v0", 8, 2),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="GoToEnv",
+        env_name="goto_object",
+        max_episode_steps=5 * size * size,
+        size=size,
+        num_objs=num_objs,
+    )
+
+for size in (6, 8):
+    register(
+        task_id=f"MiniGrid-RedBlueDoors-{size}x{size}-v0",
+        import_path=_PATH,
+        env_cls="RedBlueDoorsEnv",
+        max_episode_steps=20 * size * size,
+        size=size,
+    )
+
+register(
+    task_id="MiniGrid-Unlock-v0",
+    import_path=_PATH,
+    env_cls="UnlockEnv",
+    env_name="unlock",
+    max_episode_steps=8 * 36,
+)
+register(
+    task_id="MiniGrid-UnlockPickup-v0",
+    import_path=_PATH,
+    env_cls="UnlockEnv",
+    env_name="unlock_pickup",
+    max_episode_steps=8 * 36,
+)
+
+for task_id, size, random_length in (
+    ("MiniGrid-MemoryS17Random-v0", 17, True),
+    ("MiniGrid-MemoryS13Random-v0", 13, True),
+    ("MiniGrid-MemoryS13-v0", 13, False),
+    ("MiniGrid-MemoryS11-v0", 11, False),
+    ("MiniGrid-MemoryS9-v0", 9, False),
+    ("MiniGrid-MemoryS7-v0", 7, False),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="MemoryEnv",
+        max_episode_steps=5 * size * size,
+        size=size,
+        random_length=random_length,
+    )

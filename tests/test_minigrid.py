@@ -101,7 +101,7 @@ def test_doorkey_pickup_and_unlock() -> None:
 
 def test_registration_count() -> None:
     tasks = [t for t in envpool_tpu.list_all_envs() if "MiniGrid" in t]
-    assert len(tasks) == 22
+    assert len(tasks) == 48
 
 
 def test_determinism_random_tasks() -> None:
@@ -137,3 +137,192 @@ def test_babyai_goto_door_missions() -> None:
     )
     obs, info = env.reset()
     assert all(m % 8 == mg.DOOR for m in info["mission_id"].tolist())
+
+
+# ---------------------------------------------------------------------------
+# Wave 2 tasks (tasks2.py)
+# ---------------------------------------------------------------------------
+
+
+def _base_state(grid, x, y, d, extra=None):
+    st = {
+        "grid": grid,
+        "pos": jnp.asarray([x, y], jnp.int32),
+        "dir": jnp.int32(d),
+        "carrying": jnp.asarray([mg.EMPTY, 0], jnp.int8),
+        "t": jnp.int32(0),
+    }
+    if extra:
+        st.update(extra)
+    return st
+
+
+def test_dynamic_obstacles_collision() -> None:
+    from envpool_tpu.envs.minigrid import DynamicObstaclesEnv
+
+    env = DynamicObstaclesEnv.from_config(num_envs=1, size=5, n_obstacles=1)
+    key = jax.random.PRNGKey(0)
+    grid = mg.empty_grid(5, 5)
+    grid = mg.set_cell(grid, 3, 3, mg.GOAL, mg.GREEN)
+    grid = mg.set_cell(grid, 2, 1, mg.BALL, mg.BLUE)  # directly ahead
+    st = _base_state(
+        grid, 1, 1, 0, {"obstacles": jnp.asarray([[2, 1]], jnp.int32)}
+    )
+    out = env.step_env(st, jnp.int32(mg.FORWARD), key)
+    assert bool(out.terminated)
+    assert float(out.reward) == -1.0
+    # Turning is always safe.
+    out = env.step_env(st, jnp.int32(mg.LEFT), key)
+    assert not bool(out.terminated)
+
+
+def test_fetch_pickup_right_and_wrong() -> None:
+    from envpool_tpu.envs.minigrid import FetchEnv
+
+    env = FetchEnv.from_config(num_envs=1, size=8, num_objs=2)
+    key = jax.random.PRNGKey(0)
+    grid = mg.empty_grid(8, 8)
+    grid = mg.set_cell(grid, 2, 1, mg.KEY, mg.RED)
+    # Target = red key, syntax 0 -> mission id 0*12 + RED*2 + 0.
+    target = jnp.asarray([mg.KEY, mg.RED, 0], jnp.int32)
+    st = _base_state(grid, 1, 1, 0, {"target": target})
+    out = env.step_env(st, jnp.int32(mg.PICKUP), key)
+    assert bool(out.terminated)
+    assert float(out.reward) > 0.8
+    # Wrong color: terminates with 0.
+    grid2 = mg.empty_grid(8, 8)
+    grid2 = mg.set_cell(grid2, 2, 1, mg.KEY, mg.BLUE)
+    st2 = _base_state(grid2, 1, 1, 0, {"target": target})
+    out2 = env.step_env(st2, jnp.int32(mg.PICKUP), key)
+    assert bool(out2.terminated) and float(out2.reward) == 0.0
+
+
+def test_goto_done_semantics() -> None:
+    from envpool_tpu.envs.minigrid import GoToEnv
+
+    env = GoToEnv.from_config(num_envs=1, env_name="goto_door", size=6)
+    key = jax.random.PRNGKey(0)
+    grid = mg.empty_grid(6, 6)
+    grid = mg.set_cell(grid, 0, 2, mg.DOOR, mg.PURPLE, mg.CLOSED)
+    target = jnp.asarray([0, 2, mg.PURPLE], jnp.int32)  # (x, y, mission)
+    st = _base_state(grid, 1, 2, 2, {"target": target})  # next to the door
+    out = env.step_env(st, jnp.int32(mg.DONE), key)
+    assert bool(out.terminated) and float(out.reward) > 0.8
+    # done far away: terminated, no reward.
+    st2 = _base_state(grid, 3, 3, 0, {"target": target})
+    out2 = env.step_env(st2, jnp.int32(mg.DONE), key)
+    assert bool(out2.terminated) and float(out2.reward) == 0.0
+    # toggle terminates without reward.
+    out3 = env.step_env(st, jnp.int32(mg.TOGGLE), key)
+    assert bool(out3.terminated) and float(out3.reward) == 0.0
+
+
+def test_red_blue_doors_order() -> None:
+    from envpool_tpu.envs.minigrid import RedBlueDoorsEnv
+
+    env = RedBlueDoorsEnv.from_config(num_envs=1, size=6)
+    key = jax.random.PRNGKey(3)
+    st, obs = env.reset_env(key)
+    doors = np.asarray(st["doors"])
+    grid = st["grid"]
+    # Teleport agent next to the red door and open it.
+    rx, ry = doors[0]
+    st1 = {**st, "pos": jnp.asarray([rx + 1, ry], jnp.int32), "dir": jnp.int32(2)}
+    out = env.step_env(st1, jnp.int32(mg.TOGGLE), key)
+    assert not bool(out.terminated)
+    assert int(out.state["grid"][ry, rx, 2]) == mg.OPEN
+    # Now open the blue door -> success.
+    bx, by = doors[1]
+    st2 = {**out.state, "pos": jnp.asarray([bx - 1, by], jnp.int32), "dir": jnp.int32(0)}
+    out2 = env.step_env(st2, jnp.int32(mg.TOGGLE), key)
+    assert bool(out2.terminated) and float(out2.reward) > 0.5
+    # Opening blue first fails.
+    st3 = {**st, "pos": jnp.asarray([bx - 1, by], jnp.int32), "dir": jnp.int32(0)}
+    out3 = env.step_env(st3, jnp.int32(mg.TOGGLE), key)
+    assert bool(out3.terminated) and float(out3.reward) == 0.0
+
+
+def test_unlock_and_unlock_pickup() -> None:
+    from envpool_tpu.envs.minigrid import UnlockEnv
+
+    env = UnlockEnv.from_config(num_envs=1, env_name="unlock")
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    door = np.asarray(st["door"])
+    color = int(st["grid"][door[1], door[0], 1])
+    # Give the agent the key and put it in front of the door.
+    st1 = {
+        **st,
+        "pos": jnp.asarray([door[0] - 1, door[1]], jnp.int32),
+        "dir": jnp.int32(0),
+        "carrying": jnp.asarray([mg.KEY, color], jnp.int8),
+    }
+    out = env.step_env(st1, jnp.int32(mg.TOGGLE), key)
+    assert bool(out.terminated) and float(out.reward) > 0.5
+
+    env2 = UnlockEnv.from_config(num_envs=1, env_name="unlock_pickup")
+    st2, _ = env2.reset_env(key)
+    g = np.asarray(st2["grid"])
+    ys, xs = np.where(g[:, :, 0] == mg.BOX)
+    assert len(xs) == 1  # the box exists in the right room
+    assert xs[0] > int(st2["door"][0])
+
+
+def test_memory_success_and_failure() -> None:
+    from envpool_tpu.envs.minigrid import MemoryEnv
+
+    env = MemoryEnv.from_config(num_envs=1, size=9)
+    key = jax.random.PRNGKey(1)
+    st, obs = env.reset_env(key)
+    cells = np.asarray(st["goal_cells"])
+    g = np.asarray(st["grid"])
+    # The two candidate objects are a key and a ball in green.
+    mid = 9 // 2
+    def obj_row(y):  # the object sits one beyond the approach cell
+        return y - 1 if y < mid else y + 1
+    objs = {
+        int(g[obj_row(cells[0][1]), cells[0][0], 0]),
+        int(g[obj_row(cells[1][1]), cells[1][0], 0]),
+    }
+    assert objs == {mg.KEY, mg.BALL}
+    # Teleport one cell before success and walk in.
+    sx, sy = cells[0]
+    st1 = {**st, "pos": jnp.asarray([sx, sy + 1], jnp.int32), "dir": jnp.int32(3)}
+    out = env.step_env(st1, jnp.int32(mg.FORWARD), key)
+    if not bool(out.terminated):  # facing may be off; try from the other side
+        st1 = {**st, "pos": jnp.asarray([sx, sy - 1], jnp.int32), "dir": jnp.int32(1)}
+        out = env.step_env(st1, jnp.int32(mg.FORWARD), key)
+    assert bool(out.terminated) and float(out.reward) > 0.5
+    # Failure cell gives 0.
+    fx, fy = cells[1]
+    stf = {**st, "pos": jnp.asarray([fx, fy + 1] if fy < 5 else [fx, fy - 1], jnp.int32),
+           "dir": jnp.int32(3 if fy < 5 else 1)}
+    outf = env.step_env(stf, jnp.int32(mg.FORWARD), key)
+    assert bool(outf.terminated) and float(outf.reward) == 0.0
+
+
+def test_wave2_pools_and_ids() -> None:
+    ids = envpool_tpu.list_all_envs()
+    for t in (
+        "MiniGrid-Dynamic-Obstacles-8x8-v0",
+        "MiniGrid-Fetch-6x6-N2-v0",
+        "MiniGrid-GoToObject-8x8-N2-v0",
+        "MiniGrid-RedBlueDoors-8x8-v0",
+        "MiniGrid-MemoryS17Random-v0",
+        "MiniGrid-Unlock-v0",
+        "MiniGrid-SimpleCrossingS11N5-v0",
+    ):
+        assert t in ids
+    rng = np.random.default_rng(0)
+    env = envpool_tpu.make(
+        "MiniGrid-Dynamic-Obstacles-8x8-v0", env_type="gymnasium",
+        num_envs=8, seed=0,
+    )
+    obs, info = env.reset()
+    crashes = 0
+    for _ in range(30):
+        obs, rew, term, trunc, info = env.step(
+            rng.integers(0, 3, 8).astype(np.int32)
+        )
+        crashes += int((rew < 0).sum())
+    assert crashes > 0  # random walks hit the moving balls
