@@ -1,6 +1,6 @@
 """MiniGrid + BabyAI env families (TPU-native int-array gridworlds)."""
 
-from .babyai import BabyAIGoToEnv
+from .babyai import BabyAIGoToEnv, BabyAILocalEnv
 from .minigrid_env import MiniGridEnv
 from .tasks2 import (
     DynamicObstaclesEnv,
@@ -13,6 +13,7 @@ from .tasks2 import (
 
 __all__ = [
     "BabyAIGoToEnv",
+    "BabyAILocalEnv",
     "DynamicObstaclesEnv",
     "FetchEnv",
     "GoToEnv",

@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ...core.env import EnvOut
 from . import core as mg
 from .minigrid_env import MiniGridEnv
 
@@ -143,6 +144,123 @@ class BabyAIGoToEnv(MiniGridEnv):
         return EnvOut(
             state=st,
             obs=obs,
+            reward=reward,
+            terminated=out.terminated | success,
+        )
+
+
+class BabyAILocalEnv(MiniGridEnv):
+    """Single-room BabyAI levels with desc-matched GoTo instructions.
+
+    Behavioral reference: ``envpool/minigrid/impl/babyai_goto_tasks.cc``
+    (GoToRedBall / GoToRedBallGrey / GoToRedBallNoDists / GoToRedBlueBall /
+    GoToLocal) and ``babyai_instr.cc`` ``BabyAIGoToInstr::VerifyAction``:
+    the episode succeeds when the agent's FRONT cell holds an object
+    matching the instruction's (type, color) description — any matching
+    object counts, not one specific cell.
+
+    Distractors are uniform (type, color) draws like BabyAI's
+    ``add_distractors`` (duplicates allowed); the Grey variant recolors
+    them grey, and GoToRedBlueBall recolors conflicting red/blue ball
+    distractors grey so the target color stays informative (the reference
+    rejects-and-resamples — same support).  Mission id = color·8 + type.
+    """
+
+    DEFAULT_CONFIG = dict(MiniGridEnv.DEFAULT_CONFIG)
+    DEFAULT_CONFIG.update(
+        {"env_name": "goto_red_ball", "size": 8, "num_dists": 7}
+    )
+
+    def reset_env(self, key):
+        name = str(self.config["env_name"])
+        w, h = self._wh
+        n = int(self.config["num_dists"])
+        grid = mg.empty_grid(w, h)
+        keys = jax.random.split(key, 2 * max(n, 1) + 6)
+
+        if name in ("goto_red_ball", "goto_red_ball_grey"):
+            ttype = jnp.int32(mg.BALL)
+            tcolor = jnp.int32(mg.RED)
+            ox, oy = mg.place_random(keys[-1], grid)
+            grid = grid.at[oy, ox].set(
+                jnp.asarray([mg.BALL, mg.RED, 0], jnp.int8)
+            )
+        elif name == "goto_red_blue_ball":
+            ttype = jnp.int32(mg.BALL)
+            tcolor = jnp.where(
+                jax.random.bernoulli(keys[-2]), mg.RED, mg.BLUE
+            ).astype(jnp.int32)
+            ox, oy = mg.place_random(keys[-1], grid)
+            grid = grid.at[oy, ox].set(
+                jnp.stack(
+                    [jnp.int8(mg.BALL), tcolor.astype(jnp.int8), jnp.int8(0)]
+                )
+            )
+        else:  # goto_local: target picked among the distractors below
+            ttype = None
+            tcolor = None
+
+        dist_types, dist_colors = [], []
+        obj_table = jnp.asarray([mg.KEY, mg.BALL, mg.BOX], jnp.int8)
+        for i in range(n):
+            t = obj_table[jax.random.randint(keys[2 * i], (), 0, 3)]
+            c = jax.random.randint(keys[2 * i + 1], (), 0, 6).astype(jnp.int8)
+            if name == "goto_red_ball_grey":
+                c = jnp.int8(mg.GREY)
+            elif name == "goto_red_blue_ball":
+                clash = (t == mg.BALL) & ((c == mg.RED) | (c == mg.BLUE))
+                c = jnp.where(clash, mg.GREY, c).astype(jnp.int8)
+            dx, dy = mg.place_random(
+                jax.random.fold_in(keys[2 * i], 7), grid
+            )
+            grid = grid.at[dy, dx].set(jnp.stack([t, c, jnp.int8(0)]))
+            dist_types.append(t)
+            dist_colors.append(c)
+
+        if name == "goto_local":
+            idx = jax.random.randint(keys[-1], (), 0, n)
+            ttype = jnp.stack(dist_types)[idx].astype(jnp.int32)
+            tcolor = jnp.stack(dist_colors)[idx].astype(jnp.int32)
+
+        ax, ay = mg.place_random(keys[-3], grid)
+        d = jax.random.randint(keys[-4], (), 0, 4, jnp.int32)
+        st = {
+            "grid": grid,
+            "pos": jnp.stack([ax, ay]).astype(jnp.int32),
+            "dir": d.astype(jnp.int32),
+            "carrying": jnp.asarray([mg.EMPTY, 0], jnp.int8),
+            "t": jnp.int32(0),
+            "target": jnp.stack([ttype, tcolor]).astype(jnp.int32),
+        }
+        return st, self._obs(st)
+
+    def _obs(self, st):
+        obs = MiniGridEnv._obs(self, st)
+        if "target" in st:
+            obs["info:mission_id"] = st["target"][1] * 8 + st["target"][0]
+        return obs
+
+    def step_env(self, state, action, key):
+        out = MiniGridEnv.step_env(self, state, action, key)
+        st = {**out.state, "target": state["target"]}
+        w, h = self._wh
+        fwd = st["pos"] + jnp.asarray(mg.DIR_VEC)[st["dir"]]
+        fx = jnp.clip(fwd[0], 0, w - 1)
+        fy = jnp.clip(fwd[1], 0, h - 1)
+        cell = st["grid"][fy, fx]
+        success = (
+            (cell[0].astype(jnp.int32) == state["target"][0])
+            & (cell[1].astype(jnp.int32) == state["target"][1])
+        )
+        t = st["t"]
+        reward = jnp.where(
+            success,
+            1.0 - 0.9 * t.astype(jnp.float32) / self.max_episode_steps,
+            out.reward,
+        ).astype(jnp.float32)
+        return EnvOut(
+            state=st,
+            obs=self._obs(st),
             reward=reward,
             terminated=out.terminated | success,
         )

@@ -217,3 +217,54 @@ for task_id, size, random_length in (
         size=size,
         random_length=random_length,
     )
+
+# --- BabyAI wave 2 (desc-matched GoTo levels) -------------------------------
+
+def _reg_babyai(task_id, size=8, num_dists=7, **kwargs):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="BabyAILocalEnv",
+        max_episode_steps=8 * size * size,
+        size=size,
+        num_dists=num_dists,
+        **kwargs,
+    )
+
+
+_reg_babyai("BabyAI-GoToRedBall-v0", env_name="goto_red_ball")
+_reg_babyai("BabyAI-GoToRedBallGrey-v0", env_name="goto_red_ball_grey")
+_reg_babyai(
+    "BabyAI-GoToRedBallNoDists-v0", env_name="goto_red_ball", num_dists=0
+)
+_reg_babyai("BabyAI-GoToRedBlueBall-v0", env_name="goto_red_blue_ball")
+
+for task_id, num_dists, size in (
+    ("BabyAI-GoToLocal-v0", 8, 8),
+    ("BabyAI-GoToLocalS5N2-v0", 2, 5),
+    ("BabyAI-GoToLocalS6N2-v0", 2, 6),
+    ("BabyAI-GoToLocalS6N3-v0", 3, 6),
+    ("BabyAI-GoToLocalS6N4-v0", 4, 6),
+    ("BabyAI-GoToLocalS7N4-v0", 4, 7),
+    ("BabyAI-GoToLocalS7N5-v0", 5, 7),
+    ("BabyAI-GoToLocalS8N2-v0", 2, 8),
+    ("BabyAI-GoToLocalS8N3-v0", 3, 8),
+    ("BabyAI-GoToLocalS8N4-v0", 4, 8),
+    ("BabyAI-GoToLocalS8N5-v0", 5, 8),
+    ("BabyAI-GoToLocalS8N6-v0", 6, 8),
+    ("BabyAI-GoToLocalS8N7-v0", 7, 8),
+):
+    _reg_babyai(task_id, size=size, num_dists=num_dists, env_name="goto_local")
+
+for task_id, size in (
+    ("BabyAI-GoToObjS4-v0", 4),
+    ("BabyAI-GoToObjS6-v1", 6),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="BabyAIGoToEnv",
+        env_name="goto_obj",
+        size=size,
+        max_episode_steps=8 * size * size,
+    )

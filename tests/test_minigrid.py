@@ -326,3 +326,55 @@ def test_wave2_pools_and_ids() -> None:
         )
         crashes += int((rew < 0).sum())
     assert crashes > 0  # random walks hit the moving balls
+
+
+def test_babyai_local_desc_matching() -> None:
+    from envpool_tpu.envs.minigrid import BabyAILocalEnv
+
+    env = BabyAILocalEnv.from_config(
+        num_envs=1, env_name="goto_red_ball", num_dists=0, size=8
+    )
+    key = jax.random.PRNGKey(0)
+    grid = mg.empty_grid(8, 8)
+    grid = mg.set_cell(grid, 2, 1, mg.BALL, mg.RED)
+    target = jnp.asarray([mg.BALL, mg.RED], jnp.int32)
+    st = _base_state(grid, 1, 1, 0, {"target": target})
+    # Facing a matching red ball after any action -> success.
+    out = env.step_env(st, jnp.int32(mg.DONE), key)
+    assert bool(out.terminated) and float(out.reward) > 0.8
+    # A blue ball in front does not match.
+    grid2 = mg.empty_grid(8, 8)
+    grid2 = mg.set_cell(grid2, 2, 1, mg.BALL, mg.BLUE)
+    st2 = _base_state(grid2, 1, 1, 0, {"target": target})
+    out2 = env.step_env(st2, jnp.int32(mg.DONE), key)
+    assert not bool(out2.terminated)
+
+
+def test_babyai_grey_distractors() -> None:
+    from envpool_tpu.envs.minigrid import BabyAILocalEnv
+
+    env = BabyAILocalEnv.from_config(
+        num_envs=1, env_name="goto_red_ball_grey", num_dists=7, size=8
+    )
+    st, obs = env.reset_env(jax.random.PRNGKey(4))
+    g = np.asarray(st["grid"])
+    objs = (g[:, :, 0] == mg.KEY) | (g[:, :, 0] == mg.BOX)
+    assert (g[objs, 1] == mg.GREY).all()  # all non-ball dists are grey
+    balls = g[:, :, 0] == mg.BALL
+    colors = set(g[balls, 1].tolist())
+    assert mg.RED in colors  # the target ball
+    assert colors <= {mg.RED, mg.GREY}
+    assert int(obs["info:mission_id"]) == mg.RED * 8 + mg.BALL
+
+
+def test_babyai_ids_registered() -> None:
+    ids = envpool_tpu.list_all_envs()
+    for t in (
+        "BabyAI-GoToRedBall-v0",
+        "BabyAI-GoToRedBallNoDists-v0",
+        "BabyAI-GoToRedBlueBall-v0",
+        "BabyAI-GoToLocal-v0",
+        "BabyAI-GoToLocalS8N7-v0",
+        "BabyAI-GoToObjS4-v0",
+    ):
+        assert t in ids
