@@ -8,6 +8,7 @@ from .tasks import (
     HopperEnv,
     PendulumEnv,
     PointMassEnv,
+    SwimmerEnv,
     WalkerEnv,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "HopperEnv",
     "PendulumEnv",
     "PointMassEnv",
+    "SwimmerEnv",
     "WalkerEnv",
 ]

@@ -57,7 +57,7 @@ class DmcEnv(TpuEnv):
 
     def __init__(self, config):
         super().__init__(config)
-        self.model, self._mj_model = _load_dmc_model(self.DOMAIN)
+        self.model, self._mj_model = self._load_model()
         ct = self.CONTROL_TIMESTEP or self.model.timestep
         self.n_sub_steps = max(1, round(ct / self.model.timestep))
         self.control_dt = self.model.timestep * self.n_sub_steps
@@ -66,6 +66,11 @@ class DmcEnv(TpuEnv):
         )
         self.substeps = int(config["substeps"])
         self.task = str(config["task_name"])
+
+    def _load_model(self):
+        """Model hook; procedural domains (swimmer, n-pole cartpole)
+        override this to build dm_control's generated XMLs."""
+        return _load_dmc_model(self.DOMAIN)
 
     # -- randomizers -------------------------------------------------------
 
@@ -168,13 +173,19 @@ class DmcEnv(TpuEnv):
         st = {"qpos": qpos, "qvel": qvel, "extras": extras}
         return st, self._obs_dict(st)
 
+    def transform_action(self, action, extras):
+        """Hook for per-episode actuation remaps (point_mass:hard)."""
+        del extras
+        return action
+
     def step_env(self, state, action, key):
         action = jnp.reshape(action, (self.model.nu,)).astype(jnp.float32)
+        ctrl = self.transform_action(action, state["extras"])
         qpos, qvel = phys_step(
             self.model,
             state["qpos"],
             state["qvel"],
-            action,
+            ctrl,
             self.substeps,
             self.contact,
             self.n_sub_steps,

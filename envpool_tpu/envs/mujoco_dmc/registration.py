@@ -27,6 +27,7 @@ _TASKS = [
     ("ReacherEasy-v1", "DmcReacherEnv", "easy"),
     ("ReacherHard-v1", "DmcReacherEnv", "hard"),
     ("PointMassEasy-v1", "PointMassEnv", "easy"),
+    ("PointMassHard-v1", "PointMassEnv", "hard"),
 ]
 
 for task_id, env_cls, task_name in _TASKS:
@@ -35,5 +36,32 @@ for task_id, env_cls, task_name in _TASKS:
         import_path=_PATH,
         env_cls=env_cls,
         task_name=task_name,
+        max_episode_steps=1000,
+    )
+
+# Procedural-model domains (n-pole cartpole, n-link swimmer).
+for task_id, n_poles, task_name in (
+    ("CartpoleTwoPoles-v1", 2, "two_poles"),
+    ("CartpoleThreePoles-v1", 3, "three_poles"),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="CartpoleEnv",
+        task_name=task_name,
+        n_poles=n_poles,
+        max_episode_steps=1000,
+    )
+
+for task_id, n_links, task_name in (
+    ("SwimmerSwimmer6-v1", 6, "swimmer6"),
+    ("SwimmerSwimmer15-v1", 15, "swimmer15"),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="SwimmerEnv",
+        task_name=task_name,
+        n_links=n_links,
         max_episode_steps=1000,
     )

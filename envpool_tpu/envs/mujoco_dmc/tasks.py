@@ -51,22 +51,43 @@ class PendulumEnv(DmcEnv):
 
 
 class CartpoleEnv(DmcEnv):
-    """cartpole:{balance,balance_sparse,swingup,swingup_sparse}."""
+    """cartpole:{balance,balance_sparse,swingup,swingup_sparse,
+    two_poles,three_poles}.
+
+    The n-pole variants build dm_control's procedurally generated model
+    (``cartpole._make_model``) and run the swing-up (non-sparse) task, as
+    in the suite (``dm_control/suite/cartpole.py`` two_poles/three_poles).
+    """
 
     DOMAIN = "cartpole"
     _CART_RANGE = (-0.25, 0.25)
     _ANGLE_COSINE_RANGE = (0.995, 1)
+    DEFAULT_CONFIG = dict(DmcEnv.DEFAULT_CONFIG)
+    DEFAULT_CONFIG.update({"n_poles": 1})
+
+    def _load_model(self):
+        n = int(self.config["n_poles"])
+        if n == 1:
+            return super()._load_model()
+        import mujoco
+        from dm_control.suite import cartpole, common
+
+        xml = cartpole._make_model(n)
+        m = mujoco.MjModel.from_xml_string(xml.decode(), common.ASSETS)
+        from ...physics import from_mj_model
+
+        return from_mj_model(m), m
 
     @property
     def _swing_up(self) -> bool:
-        return self.task.startswith("swingup")
+        return self.task.startswith("swingup") or self.task.endswith("poles")
 
     @property
     def _sparse(self) -> bool:
         return self.task.endswith("sparse")
 
     def init_state(self, key):
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         nq, nv = self.model.nq, self.model.nv
         qpos0 = jnp.asarray(self.model.qpos0, jnp.float32)
         if self._swing_up:
@@ -74,6 +95,10 @@ class CartpoleEnv(DmcEnv):
             qpos = qpos.at[1].set(
                 jnp.pi + 0.01 * jax.random.normal(k2)
             )
+            if nq > 2:
+                qpos = qpos.at[2:].set(
+                    0.1 * jax.random.normal(k4, (nq - 2,), jnp.float32)
+                )
         else:
             qpos = qpos0.at[0].set(
                 jax.random.uniform(k1, (), jnp.float32, -0.1, 0.1)
@@ -374,10 +399,55 @@ class DmcAcrobotEnv(DmcEnv):
 
 
 class PointMassEnv(DmcEnv):
-    """point_mass:easy."""
+    """point_mass:{easy,hard}.
+
+    ``hard`` randomizes the actuation per episode: each control channel
+    drives a random linear combination of the two joints (dm_control sets
+    the tendon ``wrap_prm`` to two random unit vectors with |cos| <= 0.9;
+    here the 2x2 mix matrix lives in state extras and remaps the action).
+    """
 
     DOMAIN = "point_mass"
     _TARGET_SIZE = 0.015
+
+    def _extras_spec(self):
+        if self.task == "hard":
+            return {"gain": (2, 2)}
+        return {}
+
+    def init_state(self, key):
+        k1, k2 = jax.random.split(key)
+        qpos = self.randomize_joints(k1)
+        extras = {}
+        if self.task == "hard":
+            def sample_dir(k):
+                d = jax.random.normal(k, (2,), jnp.float32)
+                return d / jnp.linalg.norm(d)
+
+            ka, kb = jax.random.split(k2)
+            dir1 = sample_dir(ka)
+
+            def cond(carry):
+                d2, _ = carry
+                return jnp.abs(jnp.dot(dir1, d2)) > 0.9
+
+            def body(carry):
+                _, k = carry
+                k, sub = jax.random.split(k)
+                return sample_dir(sub), k
+
+            kb, sub0 = jax.random.split(kb)
+            dir2, _ = jax.lax.while_loop(
+                cond, body, (sample_dir(sub0), kb)
+            )
+            # Columns are the actuation directions: qfrc = gain @ u.
+            extras["gain"] = jnp.stack([dir1, dir2], axis=1)
+        return qpos, jnp.zeros(self.model.nv, jnp.float32), extras
+
+    def transform_action(self, action, extras):
+        if self.task == "hard":
+            return extras["gain"] @ action
+        return action
 
     def observe_dmc(self, qpos, qvel, extras):
         return {"position": qpos, "velocity": qvel}
@@ -395,3 +465,99 @@ class PointMassEnv(DmcEnv):
             )
         )
         return near * (control + 4) / 5
+
+
+class SwimmerEnv(DmcEnv):
+    """swimmer:{swimmer6,swimmer15} — procedurally generated n-link chain.
+
+    Behavioral reference: ``dm_control/suite/swimmer.py`` (installed; also
+    the alignment oracle) and ``envpool/mujoco/dmc`` which ports it.  The
+    swimmer is propelled purely by the MuJoCo inertia-box fluid model
+    (density 3000), which this build's physics implements term-exactly.
+    Target position is a per-episode model edit in dm_control — here it
+    lives in state extras.  Observations: joints ``qpos[3:]``, nose→target
+    in the head frame (xy), and per-body local [vx, vy, ωz] at the body
+    origins (the suite's velocimeter/gyro sites).
+    """
+
+    DOMAIN = "swimmer"
+    CONTROL_TIMESTEP = 0.03
+    DEFAULT_CONFIG = dict(DmcEnv.DEFAULT_CONFIG)
+    DEFAULT_CONFIG.update({"n_links": 6})
+    _TARGET_SIZE = 0.1
+
+    def _load_model(self):
+        import mujoco
+        from dm_control.suite import common, swimmer
+
+        xml = swimmer._make_model(int(self.config["n_links"]))
+        m = mujoco.MjModel.from_xml_string(xml.decode(), common.ASSETS)
+        from ...physics import from_mj_model
+
+        return from_mj_model(m), m
+
+    def __init__(self, config):
+        super().__init__(config)
+        import mujoco
+
+        m = self._mj_model
+        gid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_GEOM, "nose")
+        self._nose_off = np.array(m.geom_pos[gid], np.float32)
+        self._nose_body = int(m.geom_bodyid[gid])
+        tid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_GEOM, "target")
+        self._target_z = float(m.geom_pos[tid][2])
+
+    def _extras_spec(self):
+        return {"target": (2,)}
+
+    def init_state(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        qpos = self.randomize_joints(k1)
+        close = jax.random.uniform(k2) < 0.2
+        box = jnp.where(close, 0.3, 2.0)
+        target = jax.random.uniform(k3, (2,), jnp.float32, -1.0, 1.0) * box
+        return qpos, jnp.zeros(self.model.nv, jnp.float32), {"target": target}
+
+    def _nose_to_target(self, qpos, extras):
+        Rs, ps = self._fk(qpos)
+        head = self._nose_body
+        nose = ps[head] + Rs[head] @ jnp.asarray(self._nose_off)
+        target = jnp.concatenate(
+            [extras["target"], jnp.asarray([self._target_z], jnp.float32)]
+        )
+        return ((target - nose) @ Rs[head])[:2]
+
+    def _fk(self, qpos):
+        from ...physics.kinematics import fk
+
+        return fk(self.model, qpos)
+
+    def _body_velocities(self, qpos, qvel):
+        from ...physics.dynamics import _vel_observables, body_com_positions
+
+        v_com, omega, _ = _vel_observables(self.model, qpos, qvel)
+        Rs, ps = self._fk(qpos)
+        coms = body_com_positions(self.model, qpos)
+        out = []
+        for b in range(1, len(self.model.body_names)):  # skip world
+            v_origin = v_com[b] + jnp.cross(omega[b], ps[b] - coms[b])
+            v_local = Rs[b].T @ v_origin
+            w_local = Rs[b].T @ omega[b]
+            out.append(jnp.stack([v_local[0], v_local[1], w_local[2]]))
+        return jnp.concatenate(out)
+
+    def observe_dmc(self, qpos, qvel, extras):
+        return {
+            "joints": qpos[3:],
+            "to_target": self._nose_to_target(qpos, extras),
+            "body_velocities": self._body_velocities(qpos, qvel),
+        }
+
+    def reward_dmc(self, qpos, qvel, action, extras):
+        dist = jnp.linalg.norm(self._nose_to_target(qpos, extras))
+        return rewards.tolerance(
+            dist,
+            bounds=(0, self._TARGET_SIZE),
+            margin=5 * self._TARGET_SIZE,
+            sigmoid="long_tail",
+        )

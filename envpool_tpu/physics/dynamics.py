@@ -253,6 +253,19 @@ def _passive_forces(model: PhysModel, q, qd):
     return tau
 
 
+def _limit_violation(model: PhysModel, q):
+    """Per-dof bool-ish mask of joints outside their range."""
+    v = jnp.zeros(model.nv, q.dtype)
+    for j in range(len(model.jnt_type)):
+        if model.jnt_type[j] >= 2 and model.jnt_limited[j]:
+            qadr = int(model.jnt_qposadr[j])
+            dadr = int(model.jnt_dofadr[j])
+            lo, hi = model.jnt_range[j]
+            out = (q[qadr] < lo) | (q[qadr] > hi)
+            v = v.at[dadr].set(out.astype(q.dtype))
+    return v
+
+
 def _actuator_forces(model: PhysModel, ctrl):
     """Motor actuators on joints: τ[dof] = gear · ctrl (clipped)."""
     tau = jnp.zeros(model.nv, ctrl.dtype)
@@ -342,9 +355,15 @@ def step(
 
     def euler(q, qd):
         M, tau = _smooth(model, q, qd, ctrl, contact)
-        # Implicit damping: (M + h·D) qacc = rhs.
-        M_imp = M + h * jnp.diag(damping)
-        qacc = spd_solve(M_imp, tau)
+        # Implicit damping: (M + h·D) qacc = rhs.  The joint-limit penalty
+        # spring (klim=300 in _passive_forces) is critically damped against
+        # the dof's own inertia while violated — an undamped explicit
+        # penalty blows up for light links (swimmer) at h = 2 ms.
+        d_lim = (
+            2.0 * jnp.sqrt(300.0 * jnp.diag(M)) * _limit_violation(model, q)
+        )
+        M_imp = M + h * jnp.diag(damping + d_lim)
+        qacc = spd_solve(M_imp, tau - d_lim * qd)
         qd_new = qd + h * qacc
         q_new = integrate_qpos(model, q, qd_new, h)
         return q_new, qd_new
@@ -371,7 +390,11 @@ def step(
     def sub(_, carry):
         return stepper(*carry)
 
-    qpos, qvel = jax.lax.fori_loop(
-        0, nsteps * substeps, sub, (qpos, qvel)
-    )
+    # TPU MXU matmuls default to bf16 for f32 inputs; the mass-matrix /
+    # Cholesky path needs full f32 or long kinematic chains blow up
+    # (observed: swimmer6 NaNs under the default precision).
+    with jax.default_matmul_precision("float32"):
+        qpos, qvel = jax.lax.fori_loop(
+            0, nsteps * substeps, sub, (qpos, qvel)
+        )
     return qpos, qvel

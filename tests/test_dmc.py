@@ -111,3 +111,105 @@ def test_tolerance_matches_dm_control() -> None:
             xs, (0.1, 0.5), margin=1.0, sigmoid=sig, value_at_margin=0.2
         )
         np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_swimmer_lockstep_alignment() -> None:
+    """Physics + obs + reward lockstep vs the dm_control oracle."""
+    from envpool_tpu.envs.mujoco_dmc import SwimmerEnv
+    from envpool_tpu.physics.dynamics import step as phys_step
+
+    env = SwimmerEnv.from_config(num_envs=1, n_links=6, task_name="swimmer6")
+    oracle = dm_suite.load("swimmer", "swimmer6")
+    p = oracle.physics
+    rng = np.random.default_rng(0)
+    q0 = np.zeros(p.model.nq)
+    q0[3:] = rng.uniform(-0.3, 0.3, 5)
+    with p.reset_context():
+        p.data.qpos[:] = q0
+        p.data.qvel[:] = 0
+    q = jnp.asarray(q0, jnp.float32)
+    v = jnp.zeros(p.model.nv, jnp.float32)
+    for _ in range(10):
+        a = rng.uniform(-0.5, 0.5, 5).astype(np.float32)
+        p.set_control(a)
+        for _ in range(env.n_sub_steps):
+            p.step()
+        q, v = phys_step(
+            env.model, q, v, jnp.asarray(a), env.substeps, env.contact,
+            env.n_sub_steps,
+        )
+        np.testing.assert_allclose(
+            np.asarray(q), p.data.qpos, atol=1e-4
+        )
+    target = jnp.asarray(
+        p.named.model.geom_pos["target"][:2], jnp.float32
+    )
+    extras = {"target": target}
+    obs_o = oracle.task.get_observation(p)
+    obs_u = env.observe_dmc(
+        q, jnp.asarray(p.data.qvel, jnp.float32), extras
+    )
+    for k in ("joints", "to_target", "body_velocities"):
+        np.testing.assert_allclose(
+            np.asarray(obs_u[k]), obs_o[k], atol=1e-5
+        )
+    r_u = float(env.reward_dmc(q, v, jnp.zeros(5), extras))
+    assert abs(r_u - float(oracle.task.get_reward(p))) < 1e-5
+
+
+def test_cartpole_poles_obs_and_reward() -> None:
+    """Two-pole cartpole obs layout + swing-up reward vs oracle."""
+    from envpool_tpu.envs.mujoco_dmc import CartpoleEnv
+
+    env = CartpoleEnv.from_config(
+        num_envs=1, n_poles=2, task_name="two_poles"
+    )
+    oracle = dm_suite.load("cartpole", "two_poles")
+    p = oracle.physics
+    q = np.array([0.05, np.pi - 0.3, 0.2])
+    with p.reset_context():
+        p.data.qpos[:] = q
+        p.data.qvel[:] = [0.1, -0.2, 0.3]
+    qj = jnp.asarray(q, jnp.float32)
+    vj = jnp.asarray([0.1, -0.2, 0.3], jnp.float32)
+    obs_o = oracle.task.get_observation(p)
+    obs_u = env.observe_dmc(qj, vj, {})
+    np.testing.assert_allclose(
+        np.asarray(obs_u["position"]), obs_o["position"], atol=1e-5
+    )
+    r_u = float(env.reward_dmc(qj, vj, jnp.zeros(1), {}))
+    r_o = float(oracle.task.get_reward(p))
+    assert abs(r_u - r_o) < 1e-5
+
+
+def test_pointmass_hard_gain_remap() -> None:
+    from envpool_tpu.envs.mujoco_dmc import PointMassEnv
+
+    env = PointMassEnv.from_config(num_envs=1, task_name="hard")
+    key = jax.random.PRNGKey(0)
+    st, obs = env.reset_env(key)
+    gain = np.asarray(st["extras"]["gain"])
+    # Columns are unit vectors, not too parallel.
+    np.testing.assert_allclose(np.linalg.norm(gain, axis=0), 1.0, atol=1e-5)
+    assert abs(gain[:, 0] @ gain[:, 1]) <= 0.9 + 1e-6
+    # Different episodes draw different gains.
+    st2, _ = env.reset_env(jax.random.PRNGKey(1))
+    assert not np.allclose(gain, np.asarray(st2["extras"]["gain"]))
+
+
+def test_new_dmc_ids() -> None:
+    ids = envpool_tpu.list_all_envs()
+    for t in (
+        "CartpoleTwoPoles-v1",
+        "CartpoleThreePoles-v1",
+        "SwimmerSwimmer6-v1",
+        "SwimmerSwimmer15-v1",
+        "PointMassHard-v1",
+    ):
+        assert t in ids
+    env = envpool_tpu.make(
+        "SwimmerSwimmer15-v1", env_type="dm", num_envs=2, seed=0
+    )
+    ts = env.reset()
+    assert ts.observation.joints.shape == (2, 14)
+    assert ts.observation.body_velocities.shape == (2, 45)
