@@ -35,6 +35,23 @@ def to_nested_dict(flat: dict[str, Any]) -> dict[str, Any]:
     return ret
 
 
+def to_gym_dict_space(nested: dict[str, Any]):
+    """Nested plain dict of spaces → ``gymnasium.spaces.Dict`` recursively.
+
+    Mirrors the reference's dotted-key space nesting
+    (``envpool/python/data.py:164-206``) for keys like
+    ``nodes.coordinates`` that produce sub-dicts.
+    """
+    import gymnasium
+
+    return gymnasium.spaces.Dict(
+        {
+            k: to_gym_dict_space(v) if isinstance(v, dict) else v
+            for k, v in nested.items()
+        }
+    )
+
+
 def _identifier(name: str) -> str:
     field = re.sub(r"\W", "_", name)
     if not field or field[0].isdigit() or keyword.iskeyword(field):

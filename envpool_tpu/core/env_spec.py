@@ -137,7 +137,7 @@ class EnvSpec:
             )
             for k, v in obs_keys.items()
         }
-        return gymnasium.spaces.Dict(_data.to_nested_dict(flat))
+        return _data.to_gym_dict_space(_data.to_nested_dict(flat))
 
     def _gym_action_space(self) -> Any:
         import gymnasium
@@ -152,7 +152,7 @@ class EnvSpec:
             )
             for k, v in specs.items()
         }
-        return gymnasium.spaces.Dict(_data.to_nested_dict(flat))
+        return _data.to_gym_dict_space(_data.to_nested_dict(flat))
 
     @property
     def observation_space(self):

@@ -15,19 +15,44 @@ from .puzzles import (
     SlidingTilePuzzleEnv,
     SudokuEnv,
 )
+from .multi_agent import (
+    ConnectorEnv,
+    LevelBasedForagingEnv,
+    RobotWarehouseEnv,
+)
+from .packing import FlatPackEnv, TetrisEnv
+from .scheduling import BinPackEnv, JobShopEnv, MultiCVRPEnv
+from .search import (
+    MMSTEnv,
+    PacManEnv,
+    SearchAndRescueEnv,
+    SokobanEnv,
+)
 from .snake import SnakeEnv
 
 __all__ = [
+    "BinPackEnv",
     "CVRPEnv",
     "CleanerEnv",
+    "ConnectorEnv",
+    "JobShopEnv",
+    "MMSTEnv",
+    "MultiCVRPEnv",
+    "PacManEnv",
+    "SearchAndRescueEnv",
+    "SokobanEnv",
+    "FlatPackEnv",
     "GraphColoringEnv",
     "JumanjiGame2048Env",
     "KnapsackEnv",
+    "LevelBasedForagingEnv",
     "MazeEnv",
     "MinesweeperEnv",
+    "RobotWarehouseEnv",
     "RubiksCubeEnv",
     "SlidingTilePuzzleEnv",
     "SnakeEnv",
     "SudokuEnv",
     "TSPEnv",
+    "TetrisEnv",
 ]

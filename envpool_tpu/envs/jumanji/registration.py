@@ -63,3 +63,19 @@ _reg(
     max_episode_steps=82,
 )
 _reg("Game2048-v1", "JumanjiGame2048Env", max_episode_steps=1000)
+_reg("Tetris-v0", "TetrisEnv", max_episode_steps=401)
+_reg("Connector-v2", "ConnectorEnv", max_episode_steps=51)
+_reg("FlatPack-v0", "FlatPackEnv", max_episode_steps=26)
+_reg(
+    "LevelBasedForaging-v0",
+    "LevelBasedForagingEnv",
+    max_episode_steps=100,
+)
+_reg("RobotWarehouse-v0", "RobotWarehouseEnv", max_episode_steps=501)
+_reg("JobShop-v0", "JobShopEnv", max_episode_steps=1001)
+_reg("MultiCVRP-v0", "MultiCVRPEnv", max_episode_steps=41)
+_reg("BinPack-v2", "BinPackEnv", max_episode_steps=21)
+_reg("Sokoban-v0", "SokobanEnv", max_episode_steps=120)
+_reg("PacMan-v1", "PacManEnv", max_episode_steps=1001)
+_reg("MMST-v0", "MMSTEnv", max_episode_steps=71)
+_reg("SearchAndRescue-v0", "SearchAndRescueEnv", max_episode_steps=401)

@@ -395,3 +395,264 @@ def test_jumanji_wave3_pools() -> None:
             else:
                 acts = rng.integers(0, 4, 4).astype(np.int32)
             obs, rew, term, trunc, info = env.step(acts)
+
+
+def test_tetris_line_clear() -> None:
+    env = envpool_tpu.make("Tetris-v0", env_type="gymnasium", num_envs=1, seed=0)
+    obs, info = env.reset()
+    assert obs["grid"].shape == (1, 10, 10)
+    assert obs["action_mask"].shape == (1, 4, 10)
+    # Column 9 is never placeable (the square needs two columns).
+    assert not obs["action_mask"][0, :, 9].any()
+    # Five squares across columns 0,2,4,6,8 fill the bottom two rows.
+    for i, col in enumerate([0, 2, 4, 6, 8]):
+        acts = np.array([[0, col]], np.int32)
+        obs, rew, term, trunc, info = env.step(acts)
+        if i < 4:
+            assert rew[0] == 0.0 and not term[0]
+            assert obs["grid"][0, 8:, col : col + 2].all()
+        else:
+            assert rew[0] == 2.0  # both rows cleared
+            assert obs["grid"][0].sum() == 0
+
+
+def test_flatpack_placement() -> None:
+    env = envpool_tpu.make(
+        "FlatPack-v0", env_type="gymnasium", num_envs=1, seed=0
+    )
+    obs, info = env.reset()
+    assert obs["blocks"].shape == (1, 25, 3, 3)
+    assert obs["action_mask"].shape == (1, 25, 4, 9, 9)
+    assert obs["action_mask"][0].all()  # empty grid, nothing placed
+    obs, rew, term, trunc, info = env.step(np.array([[0, 0, 0, 0]], np.int32))
+    np.testing.assert_allclose(rew[0], 4.0 / 121.0, rtol=1e-6)
+    assert obs["grid"][0, :2, :2].all()
+    assert not obs["action_mask"][0, 0].any()  # block 0 now placed
+    # Placing block 0 again is invalid -> -1 and terminal.
+    obs, rew, term, trunc, info = env.step(np.array([[0, 0, 5, 5]], np.int32))
+    assert rew[0] == -1.0 and term[0]
+
+
+def test_connector_straight_lines() -> None:
+    env = envpool_tpu.make(
+        "Connector-v2", env_type="gymnasium", num_envs=1, seed=0
+    )
+    obs, info = env.reset()
+    assert obs["grid"].shape == (1, 10, 10)
+    # Starts at column 0 (position values 2+3a), targets at column 9.
+    starts = obs["grid"][0, :, 0]
+    assert (starts == 2 + 3 * np.arange(10)).all()
+    acts = np.full((1, 10), 2, np.int32)  # everyone moves right
+    for step in range(9):
+        obs, rew, term, trunc, info = env.step(acts)
+        if step < 8:
+            np.testing.assert_allclose(rew[0], -0.03, rtol=1e-5)
+            assert not term[0]
+        else:
+            assert rew[0] == 1.0 and term[0]
+    assert info["num_connections"][0] == 10
+    np.testing.assert_allclose(info["ratio_connections"][0], 1.0)
+    assert info["total_path_length"][0] == 100
+
+
+def test_lbf_cooperative_eat() -> None:
+    env = envpool_tpu.make(
+        "LevelBasedForaging-v0", env_type="gymnasium", num_envs=1, seed=0
+    )
+    obs, info = env.reset()
+    assert obs["agents_view"].shape == (1, 2, 12)
+    # Agent 1 steps down next to the level-2 food, then both load.
+    obs, rew, term, trunc, info = env.step(np.array([[0, 2]], np.int32))
+    assert rew[0] == 0.0
+    obs, rew, term, trunc, info = env.step(np.array([[5, 5]], np.int32))
+    np.testing.assert_allclose(rew[0], 0.5)
+    np.testing.assert_allclose(info["percent_eaten"][0], 50.0)
+    # Eaten food is masked to (-1, -1, 0) in every agent's view.
+    assert (obs["agents_view"][0, :, 0] == -1).all()
+
+
+def test_robot_warehouse_collision_ends_episode() -> None:
+    env = envpool_tpu.make(
+        "RobotWarehouse-v0", env_type="gymnasium", num_envs=1, seed=0
+    )
+    obs, info = env.reset()
+    assert obs["agents_view"].shape == (1, 4, 66)
+    obs, rew, term, trunc, info = env.step(np.zeros((1, 4), np.int32))
+    assert rew[0] == 0.0 and not term[0]
+    # Agent 0 moving down collides with agent 1 -> whole step invalid.
+    obs, rew, term, trunc, info = env.step(np.array([[3, 0, 0, 0]], np.int32))
+    assert rew[0] == -1.0 and term[0]
+
+
+def test_jumanji_wave4_pools() -> None:
+    rng = np.random.default_rng(3)
+    specs = {
+        "Tetris-v0": lambda: rng.integers(0, [4, 10], (4, 2)),
+        "Connector-v2": lambda: rng.integers(0, 5, (4, 10)),
+        "FlatPack-v0": lambda: rng.integers(0, [25, 4, 9, 9], (4, 4)),
+        "LevelBasedForaging-v0": lambda: rng.integers(0, 6, (4, 2)),
+        "RobotWarehouse-v0": lambda: rng.integers(0, 5, (4, 4)),
+    }
+    for task, sample in specs.items():
+        assert f"Jumanji/{task}" in envpool_tpu.list_all_envs()
+        env = envpool_tpu.make(task, env_type="gymnasium", num_envs=4, seed=0)
+        obs, info = env.reset()
+        for _ in range(3):
+            obs, rew, term, trunc, info = env.step(sample().astype(np.int32))
+
+
+def test_jobshop_schedule_completes() -> None:
+    env = envpool_tpu.make("JobShop-v0", env_type="gymnasium", num_envs=1, seed=0)
+    obs, info = env.reset()
+    # Machine 0 can start job 0, machine 1 job 1; noop (20) always legal.
+    assert obs["action_mask"][0, 0, 0] and obs["action_mask"][0, 1, 1]
+    assert obs["action_mask"][0, :, 20].all()
+    assert not obs["action_mask"][0, 0, 1]
+    acts = np.full((1, 10), 20, np.int32)
+    acts[0, 0] = 0
+    acts[0, 1] = 1
+    obs, rew, term, trunc, info = env.step(acts)
+    assert rew[0] == -1.0 and not term[0]
+    assert obs["machines_remaining_times"][0, 0] == 1
+    noop = np.full((1, 10), 20, np.int32)
+    obs, rew, term, trunc, info = env.step(noop)  # job 0 finishes (dur 2)
+    assert not term[0]
+    obs, rew, term, trunc, info = env.step(noop)  # job 1 finishes (dur 3)
+    assert term[0] and rew[0] == -1.0
+    # Scheduling an unstartable job is -10 and terminal.
+    env2 = envpool_tpu.make("JobShop-v0", env_type="gymnasium", num_envs=1, seed=0)
+    env2.reset()
+    bad = np.full((1, 10), 20, np.int32)
+    bad[0, 0] = 1  # job 1's op runs on machine 1, not 0
+    obs, rew, term, trunc, info = env2.step(bad)
+    assert rew[0] == -10.0 and term[0]
+
+
+def test_multicvrp_serves_and_refills() -> None:
+    env = envpool_tpu.make("MultiCVRP-v0", env_type="gymnasium", num_envs=1, seed=0)
+    obs, info = env.reset()
+    assert (obs["vehicles"]["capacities"][0] == 60).all()
+    # Vehicle 0 -> node 1 (0.5, 0), vehicle 1 -> node 2 (1.0, 0).
+    obs, rew, term, trunc, info = env.step(np.array([[1, 2]], np.int32))
+    np.testing.assert_allclose(rew[0], -(0.5 + 1.0), rtol=1e-6)
+    assert obs["nodes"]["demands"][0, 1] == 0 and obs["nodes"]["demands"][0, 2] == 0
+    assert (obs["vehicles"]["capacities"][0] == 50).all()
+    # Depot visit refills.
+    obs, rew, term, trunc, info = env.step(np.array([[0, 0]], np.int32))
+    assert obs["vehicles"]["capacities"][0, 0] == 60
+    # Both vehicles to the same node: second one finds demand 0 -> invalid.
+    obs, rew, term, trunc, info = env.step(np.array([[3, 3]], np.int32))
+    assert rew[0] == -100.0 and term[0]
+
+
+def test_binpack_split_and_volume() -> None:
+    env = envpool_tpu.make("BinPack-v2", env_type="gymnasium", num_envs=1, seed=0)
+    obs, info = env.reset()
+    assert obs["ems_mask"][0].sum() == 1
+    assert obs["items_mask"][0].sum() == 2
+    assert obs["action_mask"][0, 0, :2].all()
+    obs, rew, term, trunc, info = env.step(np.array([[0, 0]], np.int32))
+    np.testing.assert_allclose(rew[0], 0.125, rtol=1e-6)  # 0.5^3
+    assert obs["items_placed"][0, 0] and not term[0]
+    assert obs["ems_mask"][0].sum() == 3  # three children EMSs
+    obs, rew, term, trunc, info = env.step(np.array([[0, 1]], np.int32))
+    np.testing.assert_allclose(rew[0], 0.125, rtol=1e-6)
+    assert term[0]  # no items left -> no valid action
+
+
+def test_sokoban_fallback_level() -> None:
+    env = envpool_tpu.make("Sokoban-v0", env_type="gymnasium", num_envs=1, seed=0)
+    obs, info = env.reset()
+    grid = obs["grid"]
+    assert grid.shape == (1, 10, 10, 2)
+    # Agent at (4, 2); four boxes on row 3, targets row 2.
+    assert grid[0, 4, 2, 0] == 3
+    assert (grid[0, 3, 2:6, 0] == 4).all()
+    assert (grid[0, 2, 2:6, 1] == 2).all()
+    # Push the box at (3,2) up onto the target at (2,2).
+    obs, rew, term, trunc, info = env.step(np.array([0], np.int32))
+    np.testing.assert_allclose(rew[0], 1.0 - 0.1, rtol=1e-5)
+    grid = obs["grid"]
+    assert grid[0, 2, 2, 0] == 4 and grid[0, 3, 2, 0] == 3
+    np.testing.assert_allclose(info["prop_correct_boxes"][0], 0.25)
+    # Pushing again moves the box off the target: -1 plus step penalty.
+    obs, rew, term, trunc, info = env.step(np.array([0], np.int32))
+    np.testing.assert_allclose(rew[0], -1.1, rtol=1e-5)
+    assert obs["grid"][0, 1, 2, 0] == 4
+    np.testing.assert_allclose(info["prop_correct_boxes"][0], 0.0)
+    # Pushing into the wall behind it is now a noop.
+    obs, rew, term, trunc, info = env.step(np.array([0], np.int32))
+    np.testing.assert_allclose(rew[0], -0.1, rtol=1e-5)
+    assert obs["grid"][0, 1, 2, 0] == 4 and obs["grid"][0, 2, 2, 0] == 3
+
+
+def test_pacman_pellets() -> None:
+    env = envpool_tpu.make("PacMan-v1", env_type="gymnasium", num_envs=1, seed=0)
+    obs, info = env.reset()
+    assert obs["grid"].shape == (1, 31, 28)
+    assert not obs["action_mask"][0, 1]  # wall above (1,1)
+    # Walk right over the three pellets at (1, 2..4).
+    total = 0.0
+    for _ in range(3):
+        obs, rew, term, trunc, info = env.step(np.array([2], np.int32))
+        total += float(rew[0])
+    assert total == 30.0 and term[0]  # all pellets eaten
+    assert obs["score"][0] == 30
+    # Walking into a wall is -1 and terminal.
+    env2 = envpool_tpu.make("PacMan-v1", env_type="gymnasium", num_envs=1, seed=0)
+    env2.reset()
+    obs, rew, term, trunc, info = env2.step(np.array([1], np.int32))
+    assert rew[0] == -1.0 and term[0]
+
+
+def test_mmst_path_walk() -> None:
+    env = envpool_tpu.make("MMST-v0", env_type="gymnasium", num_envs=1, seed=0)
+    obs, info = env.reset()
+    assert (obs["positions"][0] == [0, 12, 24]).all()
+    assert obs["node_types"][0, 0] == 5 and obs["node_types"][0, 1] == 0
+    # Each agent hops to its right neighbor: +3.
+    obs, rew, term, trunc, info = env.step(np.array([[1, 13, 25]], np.int32))
+    assert rew[0] == 3.0 and not term[0]
+    # Hopping to a visited node is invalid: -1 and terminal.
+    obs, rew, term, trunc, info = env.step(np.array([[0, 14, 26]], np.int32))
+    assert rew[0] == -1.0 and term[0]
+
+
+def test_search_and_rescue_detection() -> None:
+    env = envpool_tpu.make(
+        "SearchAndRescue-v0", env_type="gymnasium", num_envs=1, seed=0
+    )
+    obs, info = env.reset()
+    assert obs["searcher_views"].shape == (1, 2, 3, 128)
+    np.testing.assert_allclose(obs["searcher_views"][0, 0, 0, 0], 0.1)
+    assert obs["targets_remaining"][0] == 1.0
+    # Searcher 0 moves +x toward the target at (0.1, 0).
+    acts = np.zeros((1, 2, 2), np.float32)
+    acts[0, 0, 0] = 1.0
+    obs, rew, term, trunc, info = env.step(acts)
+    assert rew[0] == 1.0 and term[0]  # lands exactly on the target
+    assert obs["targets_remaining"][0] == 0.0
+
+
+def test_jumanji_wave5_pools() -> None:
+    rng = np.random.default_rng(5)
+    specs = {
+        "JobShop-v0": lambda: rng.integers(0, 21, (4, 10)),
+        "MultiCVRP-v0": lambda: rng.integers(0, 21, (4, 2)),
+        "BinPack-v2": lambda: rng.integers(0, [40, 20], (4, 2)),
+        "Sokoban-v0": lambda: rng.integers(0, 4, 4),
+        "PacMan-v1": lambda: rng.integers(0, 5, 4),
+        "MMST-v0": lambda: rng.integers(0, 36, (4, 3)),
+    }
+    for task, sample in specs.items():
+        assert f"Jumanji/{task}" in envpool_tpu.list_all_envs()
+        env = envpool_tpu.make(task, env_type="gymnasium", num_envs=4, seed=0)
+        obs, info = env.reset()
+        for _ in range(3):
+            obs, rew, term, trunc, info = env.step(sample().astype(np.int32))
+    env = envpool_tpu.make(
+        "SearchAndRescue-v0", env_type="gymnasium", num_envs=4, seed=0
+    )
+    env.reset()
+    for _ in range(3):
+        env.step(rng.uniform(-1, 1, (4, 2, 2)).astype(np.float32))
