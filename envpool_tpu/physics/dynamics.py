@@ -1,24 +1,30 @@
-"""Articulated rigid-body dynamics via autodiff Newton-Euler (pure JAX).
+"""Articulated rigid-body dynamics in closed form (pure JAX, one FK pass).
 
 Equations of motion in generalized coordinates:
 
     M(q) qdd = τ_applied + τ_passive + τ_contact − c(q, qd)
 
-* ``M`` — joint-space inertia, assembled as ``Σ_b m JpᵀJp + Jrᵀ I_w Jr``
-  from body Jacobians (one vmapped ``jvp`` over the nv unit tangents; on
-  TPU the per-env matrices are tiny but the env batch makes these MXU
-  matmuls).  Armature inertia added on the diagonal.
-* ``c`` — Coriolis/centrifugal + gravity by projected Newton-Euler: body
-  accelerations at ``qdd = 0`` come from a second ``jvp`` through the
-  velocity kinematics; then ``c_i = Σ_b f_b·Jp_i + t_b·Jr_i`` with
-  ``f = m(a−g)``, ``t = I ω̇ + ω×Iω``.
-* Contacts — penalty springs between geom spheres and the ground plane
-  (normal Kelvin–Voigt + smooth Coulomb friction), mapped through point
-  Jacobians.  This replaces MuJoCo's LCP solver; behavior-level fidelity
-  is validated by the oracle tests, bit-level contact equality is out of
-  scope (SURVEY.md §7 hard part 1).
-* Integration — MuJoCo-style semi-implicit Euler with implicit joint
-  damping: ``(M + h·diag(damping)) qacc = rhs``.
+Design (the TPU-speed rewrite of the round-1 autodiff Newton–Euler):
+every dof is a world-frame *screw* ``(t_k, w_k, c_k)`` — linear direction,
+rotation axis, anchor — emitted by a **single** FK tree pass
+(``kinematics.fk_dof``).  With the static masks from
+``structure.dof_structure`` (``M[k,b]`` dof-moves-body, ``P[k2,k]`` dof
+precedence) everything else is closed-form batched linear algebra:
+
+* Jacobians  ``Jp[k,b] = M[k,b] (t_k + w_k × (x_b − c_k))``, ``Jr = M w``;
+* velocities ``ω = Mᵀ(qd·w)``, ``v(x) = Mᵀ(qd·t) + ω×x − Mᵀ(qd·w×c)``;
+* bias accelerations at qdd = 0 by the product rule through the screw
+  time-derivatives ``ṫ = ω_pre×t``, ``ẇ = ω_pre×w``, ``ċ = v_pre(c)``
+  (ω_pre/v_pre over the precedence mask) — exactly MuJoCo's RNE terms;
+* mass matrix ``Σ_b m JpᵀJp + Jrᵀ I_w Jr`` (+ armature diagonal).
+
+Per dynamics evaluation this is ONE tree traversal plus ~20 fused batched
+einsums — vs ~nv+2 jvp tree passes before (the round-1 bottleneck flagged
+in VERDICT.md).  Contacts stay penalty springs vs the ground plane (normal
+Kelvin–Voigt + smooth Coulomb), replacing MuJoCo's LCP solver; fidelity is
+pinned by the oracle tests in ``tests/test_physics.py`` against real MuJoCo
+(the reference steps real MuJoCo on CPU threads,
+``envpool/mujoco/gym/mujoco_env.h:45-267``).
 """
 
 from __future__ import annotations
@@ -29,9 +35,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .kinematics import body_vel, fk, integrate_qpos, tangent
+from .kinematics import fk, fk_dof, integrate_qpos, quat2mat
 from .linalg import spd_solve
 from .model import PhysModel
+from .structure import dof_structure
 
 __all__ = [
     "step",
@@ -86,25 +93,35 @@ def _contact_points(model: PhysModel, Rs, ps):
     return p + jnp.einsum("cij,cj->ci", R, local)
 
 
-def _vel_observables(model: PhysModel, q, qd):
-    """All velocity-level quantities in one pass.
+class _Kin(NamedTuple):
+    """Everything the dynamics needs from one FK pass."""
 
-    Returns (com_vel [nb,3], omega [nb,3], contact_vel [nc,3]) — each linear
-    in qd.
-    """
-    (Rs, ps), (omega, v0) = body_vel(model, q, qd)
+    Rs: jax.Array      # [nb, 3, 3]
+    ps: jax.Array      # [nb, 3]
+    t: jax.Array       # [nv, 3] screw linear directions
+    w: jax.Array       # [nv, 3] screw rotation axes
+    c: jax.Array       # [nv, 3] screw anchors
+    x_com: jax.Array   # [nb, 3] world CoM positions
+    centers: jax.Array  # [nc, 3] contact sphere centers
+
+
+def _kin(model: PhysModel, q: jax.Array) -> _Kin:
+    Rs, ps, t, w, c = fk_dof(model, q)
     ipos = jnp.asarray(model.body_ipos, q.dtype)
-    # CoM world offset r = R @ ipos; v_com = v_origin + ω × r.
-    r = jnp.einsum("bij,bj->bi", Rs, ipos)
-    v_com = v0 + jnp.cross(omega, r)
-    # Contact point velocities.
-    if len(model.con_body) == 0:
-        v_con = jnp.zeros((0, 3), q.dtype)
-    else:
-        cb = jnp.asarray(model.con_body)
-        rc = _contact_points(model, Rs, ps) - ps[cb]
-        v_con = v0[cb] + jnp.cross(omega[cb], rc)
-    return v_com, omega, v_con
+    x_com = ps + jnp.einsum("bij,bj->bi", Rs, ipos)
+    centers = _contact_points(model, Rs, ps)
+    return _Kin(Rs, ps, t, w, c, x_com, centers)
+
+
+def _point_vel(mask_T, tv, wv, wxc, x):
+    """Velocity of mask-selected material points x: [n, 3].
+
+    v(x) = Σ_k mask[k] (tv_k + wv_k × (x − c_k))
+         = maskᵀ tv + (maskᵀ wv) × x − maskᵀ (wv × c)
+    (valid because every point's mask selects a single kinematic chain).
+    """
+    om = mask_T @ wv
+    return mask_T @ tv + jnp.cross(om, x) - mask_T @ wxc, om
 
 
 def _jacobians(model: PhysModel, q):
@@ -112,14 +129,53 @@ def _jacobians(model: PhysModel, q):
 
     Shapes: Jp [nv, nb, 3], Jr [nv, nb, 3], Jc [nv, nc, 3].
     """
-    eye = jnp.eye(model.nv, dtype=q.dtype)
-    return jax.vmap(lambda e: _vel_observables(model, q, e))(eye)
+    k = _kin(model, q)
+    return _jac_from_kin(model, k, q.dtype)
+
+
+def _jac_from_kin(model: PhysModel, k: _Kin, dtype):
+    s = dof_structure(model)
+    Mf = jnp.asarray(s.body_mask, dtype)                 # [nv, nb]
+    rel = k.x_com[None, :, :] - k.c[:, None, :]          # [nv, nb, 3]
+    Jp = Mf[:, :, None] * (k.t[:, None, :] + jnp.cross(k.w[:, None, :], rel))
+    Jr = Mf[:, :, None] * jnp.broadcast_to(k.w[:, None, :], rel.shape)
+    if len(model.con_body):
+        Cf = jnp.asarray(s.con_mask, dtype)              # [nv, nc]
+        relc = k.centers[None, :, :] - k.c[:, None, :]
+        Jc = Cf[:, :, None] * (
+            k.t[:, None, :] + jnp.cross(k.w[:, None, :], relc)
+        )
+    else:
+        Jc = jnp.zeros((model.nv, 0, 3), dtype)
+    return Jp, Jr, Jc
+
+
+def _vel_observables(model: PhysModel, q, qd):
+    """All velocity-level quantities in one pass.
+
+    Returns (com_vel [nb,3], omega [nb,3], contact_vel [nc,3]) — each linear
+    in qd.
+    """
+    k = _kin(model, q)
+    s = dof_structure(model)
+    dtype = q.dtype
+    tv = qd[:, None] * k.t
+    wv = qd[:, None] * k.w
+    wxc = jnp.cross(wv, k.c)
+    v_com, omega = _point_vel(
+        jnp.asarray(s.body_mask, dtype).T, tv, wv, wxc, k.x_com
+    )
+    if len(model.con_body):
+        v_con, _ = _point_vel(
+            jnp.asarray(s.con_mask, dtype).T, tv, wv, wxc, k.centers
+        )
+    else:
+        v_con = jnp.zeros((0, 3), dtype)
+    return v_com, omega, v_con
 
 
 def _world_inertia(model: PhysModel, Rs):
     """Body inertia tensors in the world frame: [nb, 3, 3]."""
-    from .kinematics import quat2mat
-
     iquats = jnp.asarray(model.body_iquat, Rs.dtype)
     Ri = jax.vmap(quat2mat)(iquats)  # inertial frame in body frame
     Rw = jnp.einsum("bij,bjk->bik", Rs, Ri)
@@ -129,29 +185,69 @@ def _world_inertia(model: PhysModel, Rs):
 
 def mass_matrix(model: PhysModel, q: jax.Array) -> jax.Array:
     """Joint-space inertia matrix [nv, nv] (incl. armature)."""
-    Jp, Jr, _ = _jacobians(model, q)
-    Rs, _ = fk(model, q)
-    Iw = _world_inertia(model, Rs)
-    m = jnp.asarray(model.body_mass, q.dtype)
+    k = _kin(model, q)
+    Jp, Jr, _ = _jac_from_kin(model, k, q.dtype)
+    Iw = _world_inertia(model, k.Rs)
+    return _mass_from_jac(model, Jp, Jr, Iw, q.dtype)
+
+
+def _mass_from_jac(model: PhysModel, Jp, Jr, Iw, dtype):
+    m = jnp.asarray(model.body_mass, dtype)
     M = jnp.einsum("b,ibk,jbk->ij", m, Jp, Jp)
     M = M + jnp.einsum("ibk,bkl,jbl->ij", Jr, Iw, Jr)
-    return M + jnp.diag(jnp.asarray(model.dof_armature, q.dtype))
+    return M + jnp.diag(jnp.asarray(model.dof_armature, dtype))
+
+
+def _bias_accels(model: PhysModel, k: _Kin, qd):
+    """Body CoM accelerations and ω̇ at qdd = 0 (the RNE velocity products).
+
+    Product rule through the screw derivatives: with qd fixed,
+      ṫ = ω_pre × t,  ẇ = ω_pre × w,  ċ = v_pre(c),
+    where ω_pre/v_pre sum strictly-preceding dofs (precedence mask P), and
+      a(x) = Σ_k M[k,b] qd_k [ṫ_k + ẇ_k × (x − c_k) + w_k × (v(x) − ċ_k)].
+    """
+    s = dof_structure(model)
+    dtype = qd.dtype
+    Mf_T = jnp.asarray(s.body_mask, dtype).T             # [nb, nv]
+    P_T = jnp.asarray(s.prec, dtype).T                   # [nv, nv]
+    tv = qd[:, None] * k.t
+    wv = qd[:, None] * k.w
+    wxc = jnp.cross(wv, k.c)
+    # Velocities of body CoMs and of the screw anchors themselves.
+    v_com, omega = _point_vel(Mf_T, tv, wv, wxc, k.x_com)
+    omega_pre = P_T @ wv                                 # [nv, 3]
+    vc = P_T @ tv + jnp.cross(omega_pre, k.c) - P_T @ wxc
+    # Screw time-derivatives (scaled by qd).
+    tdv = jnp.cross(omega_pre, tv)
+    wdv = jnp.cross(omega_pre, wv)
+    omega_dot = Mf_T @ wdv
+    a_com = (
+        Mf_T @ tdv
+        + jnp.cross(omega_dot, k.x_com)
+        - Mf_T @ jnp.cross(wdv, k.c)
+        + jnp.cross(omega, v_com)
+        - Mf_T @ jnp.cross(wv, vc)
+    )
+    return v_com, omega, a_com, omega_dot
 
 
 def bias_forces(model: PhysModel, q: jax.Array, qd: jax.Array) -> jax.Array:
     """c(q, qd): Coriolis + centrifugal + gravity, [nv]."""
-    qdot = tangent(model, q, qd)
-    (v_com, omega, _), (a_com, omega_dot, _) = jax.jvp(
-        lambda q_: _vel_observables(model, q_, qd), (q,), (qdot,)
+    k = _kin(model, q)
+    v_com, omega, a_com, omega_dot = _bias_accels(model, k, qd)
+    Iw = _world_inertia(model, k.Rs)
+    Jp, Jr, _ = _jac_from_kin(model, k, q.dtype)
+    return _bias_from_accels(
+        model, a_com, omega, omega_dot, Iw, Jp, Jr, q.dtype
     )
-    Rs, _ = fk(model, q)
-    Iw = _world_inertia(model, Rs)
-    m = jnp.asarray(model.body_mass, q.dtype)
-    g = jnp.asarray(model.gravity, q.dtype)
-    f = m[:, None] * (a_com - g[None, :])                    # [nb, 3]
-    Iω = jnp.einsum("bij,bj->bi", Iw, omega)
-    t = jnp.einsum("bij,bj->bi", Iw, omega_dot) + jnp.cross(omega, Iω)
-    Jp, Jr, _ = _jacobians(model, q)
+
+
+def _bias_from_accels(model, a_com, omega, omega_dot, Iw, Jp, Jr, dtype):
+    m = jnp.asarray(model.body_mass, dtype)
+    g = jnp.asarray(model.gravity, dtype)
+    f = m[:, None] * (a_com - g[None, :])                # [nb, 3]
+    Iom = jnp.einsum("bij,bj->bi", Iw, omega)
+    t = jnp.einsum("bij,bj->bi", Iw, omega_dot) + jnp.cross(omega, Iom)
     return jnp.einsum("bk,ibk->i", f, Jp) + jnp.einsum("bk,ibk->i", t, Jr)
 
 
@@ -180,10 +276,10 @@ def _contact_forces_shared(
 
 def _fluid_forces(model: PhysModel, q, qd):
     """Standalone wrapper (tests); the step path uses ``_fluid_shared``."""
+    k = _kin(model, q)
     v_com, omega, _ = _vel_observables(model, q, qd)
-    Rs, _ = fk(model, q)
-    Jp, Jr, _ = _jacobians(model, q)
-    return _fluid_shared(model, v_com, omega, Rs, Jp, Jr)
+    Jp, Jr, _ = _jac_from_kin(model, k, q.dtype)
+    return _fluid_shared(model, v_com, omega, k.Rs, Jp, Jr)
 
 
 def _fluid_shared(model: PhysModel, v_com, omega, Rs, Jp, Jr):
@@ -194,8 +290,6 @@ def _fluid_shared(model: PhysModel, v_com, omega, Rs, Jp, Jr):
     at its CoM, expressed in the inertial (ximat) frame.  Verified
     term-for-term against MuJoCo's ``qfrc_passive`` on the swimmer model.
     """
-    from .kinematics import quat2mat
-
     dtype = v_com.dtype
     iquats = jnp.asarray(model.body_iquat, dtype)
     Ri = jnp.einsum(
@@ -234,89 +328,90 @@ def _fluid_shared(model: PhysModel, v_com, omega, Rs, Jp, Jr):
 
 def _passive_forces(model: PhysModel, q, qd):
     """Joint springs and soft limits (damping handled implicitly)."""
+    s = dof_structure(model)
     tau = jnp.zeros(model.nv, q.dtype)
-    stiffness = jnp.asarray(model.jnt_stiffness, q.dtype)
-    for j in range(len(model.jnt_type)):
-        if model.jnt_type[j] >= 2:  # slide/hinge
-            qadr = int(model.jnt_qposadr[j])
-            dadr = int(model.jnt_dofadr[j])
-            spring = -stiffness[j] * (
-                q[qadr] - jnp.asarray(model.qpos_spring, q.dtype)[qadr]
-            )
-            tau = tau.at[dadr].add(spring)
-            if model.jnt_limited[j]:
-                lo, hi = model.jnt_range[j]
-                klim = 300.0
-                below = jnp.minimum(q[qadr] - lo, 0.0)
-                above = jnp.maximum(q[qadr] - hi, 0.0)
-                tau = tau.at[dadr].add(-klim * (below + above))
-    return tau
+    if len(s.hs_qadr) == 0:
+        return tau
+    qs = q[jnp.asarray(s.hs_qadr)]
+    spring = -jnp.asarray(s.hs_stiffness, q.dtype) * (
+        qs - jnp.asarray(s.hs_springref, q.dtype)
+    )
+    # Soft limit penalty (klim=300); unlimited joints have ±inf bounds so
+    # both terms vanish.
+    below = jnp.minimum(qs - jnp.asarray(s.hs_lo, q.dtype), 0.0)
+    above = jnp.maximum(qs - jnp.asarray(s.hs_hi, q.dtype), 0.0)
+    lim = -300.0 * (below + above)
+    return tau.at[jnp.asarray(s.hs_dadr)].add(spring + lim)
 
 
 def _limit_violation(model: PhysModel, q):
     """Per-dof bool-ish mask of joints outside their range."""
+    s = dof_structure(model)
     v = jnp.zeros(model.nv, q.dtype)
-    for j in range(len(model.jnt_type)):
-        if model.jnt_type[j] >= 2 and model.jnt_limited[j]:
-            qadr = int(model.jnt_qposadr[j])
-            dadr = int(model.jnt_dofadr[j])
-            lo, hi = model.jnt_range[j]
-            out = (q[qadr] < lo) | (q[qadr] > hi)
-            v = v.at[dadr].set(out.astype(q.dtype))
-    return v
+    if len(s.hs_qadr) == 0:
+        return v
+    qs = q[jnp.asarray(s.hs_qadr)]
+    out = (qs < jnp.asarray(s.hs_lo, q.dtype)) | (
+        qs > jnp.asarray(s.hs_hi, q.dtype)
+    )
+    return v.at[jnp.asarray(s.hs_dadr)].set(out.astype(q.dtype))
 
 
 def _actuator_forces(model: PhysModel, ctrl):
     """Motor actuators on joints: τ[dof] = gear · ctrl (clipped)."""
     tau = jnp.zeros(model.nv, ctrl.dtype)
-    for a in range(model.nu):
-        c = ctrl[a]
-        if model.act_ctrllimited[a]:
-            lo, hi = model.act_ctrlrange[a]
-            c = jnp.clip(c, lo, hi)
-        j = int(model.act_trnid[a])
-        dadr = int(model.jnt_dofadr[j])
-        tau = tau.at[dadr].add(float(model.act_gear[a]) * c)
-    return tau
+    if model.nu == 0:
+        return tau
+    s = dof_structure(model)
+    c = jnp.clip(
+        ctrl,
+        jnp.asarray(s.act_lo, ctrl.dtype),
+        jnp.asarray(s.act_hi, ctrl.dtype),
+    )
+    return tau.at[jnp.asarray(s.act_dadr)].add(
+        jnp.asarray(s.act_gear, ctrl.dtype) * c
+    )
 
 
 def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
     """One shared pass: (M, rhs) with every force term computed once.
 
-    All Jacobian-consuming terms (mass matrix, Newton-Euler bias, contacts,
-    fluid drag) reuse a single vmapped-jvp Jacobian stack — this is what
-    keeps both runtime and compiled-program size down.
+    One FK pass emits the dof screws; Jacobians, velocities and RNE bias
+    terms are closed-form masked products off it (module docstring).
     """
-    damping = jnp.asarray(model.dof_damping, q.dtype)
-    qdot = tangent(model, q, qd)
-    (v_com, omega, v_con), (a_com, omega_dot, _) = jax.jvp(
-        lambda q_: _vel_observables(model, q_, qd), (q,), (qdot,)
+    dtype = q.dtype
+    damping = jnp.asarray(model.dof_damping, dtype)
+    k = _kin(model, q)
+    s = dof_structure(model)
+    Iw = _world_inertia(model, k.Rs)
+    Jp, Jr, Jc = _jac_from_kin(model, k, dtype)
+    v_com, omega, a_com, omega_dot = _bias_accels(model, k, qd)
+    M = _mass_from_jac(model, Jp, Jr, Iw, dtype)
+    c = _bias_from_accels(
+        model, a_com, omega, omega_dot, Iw, Jp, Jr, dtype
     )
-    Rs, ps = fk(model, q)
-    Iw = _world_inertia(model, Rs)
-    Jp, Jr, Jc = _jacobians(model, q)
-    m = jnp.asarray(model.body_mass, q.dtype)
-    # Mass matrix.
-    M = jnp.einsum("b,ibk,jbk->ij", m, Jp, Jp)
-    M = M + jnp.einsum("ibk,bkl,jbl->ij", Jr, Iw, Jr)
-    M = M + jnp.diag(jnp.asarray(model.dof_armature, q.dtype))
-    # Bias (projected Newton-Euler at qdd = 0).
-    g = jnp.asarray(model.gravity, q.dtype)
-    f = m[:, None] * (a_com - g[None, :])
-    Iom = jnp.einsum("bij,bj->bi", Iw, omega)
-    t = jnp.einsum("bij,bj->bi", Iw, omega_dot) + jnp.cross(omega, Iom)
-    c = jnp.einsum("bk,ibk->i", f, Jp) + jnp.einsum("bk,ibk->i", t, Jr)
-    # Applied / passive / contact / fluid.
-    centers = _contact_points(model, Rs, ps)
+    # Contact point velocities.
+    if len(model.con_body):
+        tv = qd[:, None] * k.t
+        wv = qd[:, None] * k.w
+        v_con, _ = _point_vel(
+            jnp.asarray(s.con_mask, dtype).T,
+            tv,
+            wv,
+            jnp.cross(wv, k.c),
+            k.centers,
+        )
+    else:
+        v_con = jnp.zeros((0, 3), dtype)
     tau = (
         _actuator_forces(model, ctrl)
         + _passive_forces(model, q, qd)
-        + _contact_forces_shared(model, contact, centers, v_con, Jc, q.dtype)
+        + _contact_forces_shared(model, contact, k.centers, v_con, Jc, dtype)
         - c
         - damping * qd
     )
     if model.density > 0 or model.viscosity > 0:
-        tau = tau + _fluid_shared(model, v_com, omega, Rs, Jp, Jr)
+        tau = tau + _fluid_shared(model, v_com, omega, k.Rs, Jp, Jr)
     return M, tau
 
 

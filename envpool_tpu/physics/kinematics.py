@@ -25,7 +25,14 @@ import jax.numpy as jnp
 
 from .model import FREE, HINGE, SLIDE, PhysModel
 
-__all__ = ["quat2mat", "fk", "tangent", "body_vel", "integrate_qpos"]
+__all__ = [
+    "quat2mat",
+    "fk",
+    "fk_dof",
+    "tangent",
+    "body_vel",
+    "integrate_qpos",
+]
 
 
 def quat2mat(q: jax.Array) -> jax.Array:
@@ -106,26 +113,87 @@ def fk(model: PhysModel, q: jax.Array):
     return jnp.stack(Rs), jnp.stack(ps)
 
 
+def fk_dof(model: PhysModel, q: jax.Array):
+    """One FK pass that also emits every dof's world-frame screw.
+
+    Returns ``(Rs [nb,3,3], ps [nb,3], t [nv,3], w [nv,3], c [nv,3])`` where
+    dof k contributes point velocity ``qd_k * (t_k + w_k x (x - c_k))`` and
+    angular velocity ``qd_k * w_k`` to every body it moves (mask in
+    ``structure.dof_structure``).  This is the single tree traversal the
+    analytic dynamics path (``dynamics._smooth``) builds everything from.
+    """
+    dtype = q.dtype
+    joints = _joints_of_body(model)
+    Rs = [jnp.eye(3, dtype=dtype)]
+    ps = [jnp.zeros(3, dtype=dtype)]
+    zero3 = jnp.zeros(3, dtype)
+    nv = model.nv
+    t: list = [zero3] * nv
+    w: list = [zero3] * nv
+    c: list = [zero3] * nv
+    for b in range(1, model.nbody):
+        parent = int(model.body_parent[b])
+        R = Rs[parent] @ quat2mat(jnp.asarray(model.body_quat[b], dtype))
+        p = ps[parent] + Rs[parent] @ jnp.asarray(model.body_pos[b], dtype)
+        for j in joints[b]:
+            jtype = int(model.jnt_type[j])
+            adr = int(model.jnt_qposadr[j])
+            d = int(model.jnt_dofadr[j])
+            if jtype == FREE:
+                p = q[adr : adr + 3]
+                R = quat2mat(q[adr + 3 : adr + 7])
+                for i in range(3):
+                    t[d + i] = (
+                        jnp.zeros(3, dtype).at[i].set(jnp.asarray(1.0, dtype))
+                    )
+                    w[d + 3 + i] = R[:, i]
+                    c[d + 3 + i] = p
+            elif jtype == SLIDE:
+                axis_w = R @ jnp.asarray(model.jnt_axis[j], dtype)
+                t[d] = axis_w
+                p = p + axis_w * q[adr]
+            elif jtype == HINGE:
+                axis_w = R @ jnp.asarray(model.jnt_axis[j], dtype)
+                anchor_w = p + R @ jnp.asarray(model.jnt_pos[j], dtype)
+                w[d] = axis_w
+                c[d] = anchor_w
+                rot = _axis_angle(axis_w, q[adr])
+                R = rot @ R
+                p = anchor_w + rot @ (p - anchor_w)
+            else:
+                raise NotImplementedError(f"joint type {jtype}")
+        Rs.append(R)
+        ps.append(p)
+    return (
+        jnp.stack(Rs),
+        jnp.stack(ps),
+        jnp.stack(t),
+        jnp.stack(w),
+        jnp.stack(c),
+    )
+
+
 def tangent(model: PhysModel, q: jax.Array, qd: jax.Array) -> jax.Array:
     """Coordinate tangent q̇ for generalized velocity qd (nq ≥ nv)."""
     if model.nq == model.nv:
         # Only hinge/slide joints: identity.
         return qd
+    from .structure import dof_structure
+
+    s = dof_structure(model)
     qdot = jnp.zeros_like(q)
-    for j in range(len(model.jnt_type)):
-        jtype = int(model.jnt_type[j])
-        qadr = int(model.jnt_qposadr[j])
-        dadr = int(model.jnt_dofadr[j])
-        if jtype == FREE:
-            qdot = qdot.at[qadr : qadr + 3].set(qd[dadr : dadr + 3])
-            quat = q[qadr + 3 : qadr + 7]
-            omega_body = qd[dadr + 3 : dadr + 6]
-            dq = 0.5 * _quat_mul(
-                quat, jnp.concatenate([jnp.zeros(1, q.dtype), omega_body])
-            )
-            qdot = qdot.at[qadr + 3 : qadr + 7].set(dq)
-        else:
-            qdot = qdot.at[qadr].set(qd[dadr])
+    if len(s.nonfree_qadr):
+        qdot = qdot.at[jnp.asarray(s.nonfree_qadr)].set(
+            qd[jnp.asarray(s.nonfree_dadr)]
+        )
+    for qadr, dadr in s.free_jnts:
+        qdot = qdot.at[qadr : qadr + 3].set(qd[dadr : dadr + 3])
+        quat = q[qadr + 3 : qadr + 7]
+        omega_body = qd[dadr + 3 : dadr + 6]
+        dq = 0.5 * _quat_mul(
+            quat, jnp.concatenate([jnp.zeros(1, q.dtype), omega_body])
+        )
+        qdot = qdot.at[qadr + 3 : qadr + 7].set(dq)
     return qdot
 
 
@@ -147,25 +215,25 @@ def integrate_qpos(
     """qpos ← qpos ⊕ h·qd (quaternion joints via exponential map)."""
     if model.nq == model.nv:
         return q + h * qd
+    from .structure import dof_structure
+
+    s = dof_structure(model)
     out = q
-    for j in range(len(model.jnt_type)):
-        jtype = int(model.jnt_type[j])
-        qadr = int(model.jnt_qposadr[j])
-        dadr = int(model.jnt_dofadr[j])
-        if jtype == FREE:
-            out = out.at[qadr : qadr + 3].set(
-                q[qadr : qadr + 3] + h * qd[dadr : dadr + 3]
-            )
-            quat = q[qadr + 3 : qadr + 7]
-            omega = qd[dadr + 3 : dadr + 6]
-            angle = jnp.linalg.norm(omega) * h
-            axis = omega / (jnp.linalg.norm(omega) + 1e-12)
-            dq = jnp.concatenate(
-                [jnp.cos(angle / 2)[None], jnp.sin(angle / 2) * axis]
-            )
-            new_quat = _quat_mul(quat, dq)
-            new_quat = new_quat / jnp.linalg.norm(new_quat)
-            out = out.at[qadr + 3 : qadr + 7].set(new_quat)
-        else:
-            out = out.at[qadr].set(q[qadr] + h * qd[dadr])
+    if len(s.nonfree_qadr):
+        qadr = jnp.asarray(s.nonfree_qadr)
+        out = out.at[qadr].set(q[qadr] + h * qd[jnp.asarray(s.nonfree_dadr)])
+    for qadr, dadr in s.free_jnts:
+        out = out.at[qadr : qadr + 3].set(
+            q[qadr : qadr + 3] + h * qd[dadr : dadr + 3]
+        )
+        quat = q[qadr + 3 : qadr + 7]
+        omega = qd[dadr + 3 : dadr + 6]
+        angle = jnp.linalg.norm(omega) * h
+        axis = omega / (jnp.linalg.norm(omega) + 1e-12)
+        dq = jnp.concatenate(
+            [jnp.cos(angle / 2)[None], jnp.sin(angle / 2) * axis]
+        )
+        new_quat = _quat_mul(quat, dq)
+        new_quat = new_quat / jnp.linalg.norm(new_quat)
+        out = out.at[qadr + 3 : qadr + 7].set(new_quat)
     return out
