@@ -444,7 +444,82 @@ def step(
     XMLs use RK4.  ``nsteps`` is the frame-skip loop (mj_step called
     repeatedly, ``mujoco_env.h`` MujocoStep); ``substeps`` subdivides the
     timestep for penalty-contact stability.
+
+    Under ``vmap`` (the pool's env axis) this dispatches to the
+    lane-parallel scalar backend (``physics.scalar``) when the model's
+    unroll cost permits — a ``custom_vmap`` rule, so per-env semantics are
+    unchanged.
     """
+    return _dispatching_step(model, substeps, contact, nsteps)(
+        qpos, qvel, ctrl
+    )
+
+
+def _scalar_mode() -> str:
+    import os
+
+    return os.environ.get("ENVPOOL_TPU_PHYSICS", "auto")
+
+
+# Unroll-cost ceiling for the scalar backend: above this the emitted HLO
+# gets large enough that compile time dominates (humanoid-class models sit
+# around ~60k; they still benefit, so the ceiling is generous).
+_SCALAR_COST_CEILING = 400_000
+
+
+@functools.lru_cache(maxsize=256)
+def _dispatching_step(model, substeps, contact, nsteps):
+    """Build the custom_vmap-wrapped stepper for one static config."""
+
+    def base(qpos, qvel, ctrl):
+        return _step_impl(
+            model, qpos, qvel, ctrl, substeps, contact, nsteps
+        )
+
+    wrapped = jax.custom_batching.custom_vmap(base)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, qpos, qvel, ctrl):
+        del axis_size
+        all_batched = all(jax.tree_util.tree_leaves(in_batched))
+        mode = _scalar_mode()
+        from .scalar import step_batched, unroll_cost
+
+        # "auto" picks the scalar backend only off-CPU: XLA:CPU compiles
+        # the big unrolled graphs 10-100x slower than the TPU compiler and
+        # the einsum path is fast enough for CPU test runs.
+        use_scalar = all_batched and (
+            mode == "scalar"
+            or (
+                mode == "auto"
+                and jax.default_backend() != "cpu"
+                and unroll_cost(model) <= _SCALAR_COST_CEILING
+            )
+        )
+        if use_scalar:
+            out = step_batched(
+                model, qpos, qvel, ctrl, substeps, contact, nsteps
+            )
+        else:
+            axes = tuple(
+                0 if b else None for b in jax.tree_util.tree_leaves(in_batched)
+            )
+            out = jax.vmap(base, in_axes=axes)(qpos, qvel, ctrl)
+        return out, (True, True)
+
+    return wrapped
+
+
+def _step_impl(
+    model: PhysModel,
+    qpos: jax.Array,
+    qvel: jax.Array,
+    ctrl: jax.Array,
+    substeps: int,
+    contact: ContactParams,
+    nsteps: int,
+):
+    """Single-env (unbatched) reference implementation — einsum path."""
     h = model.timestep / substeps
     damping = jnp.asarray(model.dof_damping, qpos.dtype)
 

@@ -20,3 +20,12 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: most suite wall time is XLA compiles of
+# per-(env, num_envs) programs; caching them across runs cuts re-run time.
+import pathlib  # noqa: E402
+
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

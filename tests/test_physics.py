@@ -116,3 +116,69 @@ def test_no_spurious_contacts_without_floor() -> None:
     assert len(pm.con_body) == 0
     _, pm = _load("half_cheetah.xml")
     assert len(pm.con_body) > 0
+
+
+# ---------------------------------------------------------------------------
+# Scalar (lane-parallel) backend equivalence: the TPU-speed path in
+# ``physics/scalar.py`` must match the einsum reference implementation
+# (itself MuJoCo-aligned above) to float32 precision.
+# ---------------------------------------------------------------------------
+
+_FREE_HINGE_XML = """
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <geom type="plane" size="5 5 0.1"/>
+    <body name="base" pos="0 0 0.5">
+      <freejoint/>
+      <geom type="sphere" size="0.1" mass="1.0"/>
+      <body name="arm" pos="0.2 0 0">
+        <joint type="hinge" axis="0 1 0" damping="0.1" range="-1 1" limited="true"/>
+        <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="0.3"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _scalar_vs_einsum(pm, substeps, nsteps, seed=3, n=4):
+    from envpool_tpu.physics.dynamics import ContactParams, _step_impl
+    from envpool_tpu.physics.scalar import step_batched
+    import jax
+
+    rng = np.random.default_rng(seed)
+    qpos = jnp.asarray(
+        np.tile(pm.qpos0, (n, 1)) + rng.uniform(-0.05, 0.05, (n, pm.nq)),
+        jnp.float32,
+    )
+    qvel = jnp.asarray(rng.normal(0, 0.1, (n, pm.nv)), jnp.float32)
+    ctrl = jnp.asarray(rng.uniform(-1, 1, (n, pm.nu)), jnp.float32)
+    cp = ContactParams()
+    ref = jax.vmap(
+        lambda q, v, c: _step_impl(pm, q, v, c, substeps, cp, nsteps)
+    )(qpos, qvel, ctrl)
+    sc = step_batched(pm, qpos, qvel, ctrl, substeps, cp, nsteps)
+    np.testing.assert_allclose(sc[0], ref[0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(sc[1], ref[1], rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "name,substeps",
+    [
+        ("half_cheetah.xml", 1),  # RK4, contacts
+        ("hopper.xml", 2),        # Euler + joint limits, contacts
+        ("swimmer.xml", 1),       # RK4, fluid drag
+    ],
+)
+def test_scalar_backend_matches_einsum(name: str, substeps: int) -> None:
+    _, pm = _load(name)
+    _scalar_vs_einsum(pm, substeps, 3)
+
+
+def test_scalar_backend_free_joint() -> None:
+    """Free-joint path (quaternion FK + expmap integration + contacts)."""
+    m = mujoco.MjModel.from_xml_string(_FREE_HINGE_XML)
+    pm = from_mj_model(m)
+    assert pm.nq == 8 and pm.nv == 7
+    _scalar_vs_einsum(pm, 1, 3)
