@@ -1,5 +1,12 @@
 """dm_control-suite env family over the TPU physics engine."""
 
+from .tasks2 import (
+    BallInCupEnv,
+    DmcHumanoidEnv,
+    FishEnv,
+    HumanoidCMUEnv,
+    LqrEnv,
+)
 from .tasks import (
     CartpoleEnv,
     DmcAcrobotEnv,
@@ -13,6 +20,11 @@ from .tasks import (
 )
 
 __all__ = [
+    "BallInCupEnv",
+    "DmcHumanoidEnv",
+    "FishEnv",
+    "HumanoidCMUEnv",
+    "LqrEnv",
     "CartpoleEnv",
     "DmcAcrobotEnv",
     "CheetahEnv",

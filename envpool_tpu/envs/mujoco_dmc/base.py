@@ -192,11 +192,25 @@ class DmcEnv(TpuEnv):
         )
         st = {"qpos": qpos, "qvel": qvel, "extras": state["extras"]}
         reward = self.reward_dmc(qpos, qvel, action, state["extras"])
+        term = self.terminated_dmc(qpos, qvel, state["extras"])
+        if term is None:
+            terminated = jnp.bool_(False)
+            discount = jnp.float32(1.0)
+        else:
+            # Tasks with real termination (lqr) end with discount 0;
+            # time-limit-only tasks keep discount 1.0.
+            terminated = jnp.asarray(term, jnp.bool_)
+            discount = jnp.where(terminated, 0.0, 1.0).astype(jnp.float32)
         return EnvOut(
             state=st,
             obs=self._obs_dict(st),
             reward=jnp.asarray(reward, jnp.float32),
-            terminated=jnp.bool_(False),
-            # dm_control time-limit episodes keep discount 1.0.
-            discount=jnp.float32(1.0),
+            terminated=terminated,
+            discount=discount,
         )
+
+    def terminated_dmc(self, qpos, qvel, extras):
+        """Hook: return a bool for task termination, or None (time-limit
+        only, dm_control's default for the benchmarking suite)."""
+        del qpos, qvel, extras
+        return None

@@ -65,3 +65,27 @@ for task_id, n_links, task_name in (
         n_links=n_links,
         max_episode_steps=1000,
     )
+
+# Wave 2: ball_in_cup, fish, lqr, humanoid, humanoid_CMU
+# (reference ids: /root/reference/envpool/make_test.py:367-420).
+for task_id, env_cls, task_name in (
+    ("BallInCupCatch-v1", "BallInCupEnv", "catch"),
+    ("FishUpright-v1", "FishEnv", "upright"),
+    ("FishSwim-v1", "FishEnv", "swim"),
+    ("LqrLqr21-v1", "LqrEnv", "lqr_2_1"),
+    ("LqrLqr62-v1", "LqrEnv", "lqr_6_2"),
+    ("HumanoidStand-v1", "DmcHumanoidEnv", "stand"),
+    ("HumanoidWalk-v1", "DmcHumanoidEnv", "walk"),
+    ("HumanoidRun-v1", "DmcHumanoidEnv", "run"),
+    ("HumanoidRunPureState-v1", "DmcHumanoidEnv", "run_pure_state"),
+    ("HumanoidCMUStand-v1", "HumanoidCMUEnv", "stand"),
+    ("HumanoidCMUWalk-v1", "HumanoidCMUEnv", "walk"),
+    ("HumanoidCMURun-v1", "HumanoidCMUEnv", "run"),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls=env_cls,
+        task_name=task_name,
+        max_episode_steps=1000,
+    )

@@ -81,6 +81,8 @@ class ContactParams(NamedTuple):
     kd: float = 1.0e2    # normal damping
     mu_scale: float = 1.0  # scales geom friction
     vs: float = 0.05     # friction velocity smoothing (m/s)
+    ten_kp: float = 2.0e3  # spatial-tendon limit penalty stiffness
+    ten_kd: float = 2.0e1  # spatial-tendon limit penalty damping
 
 
 def _contact_points(model: PhysModel, Rs, ps):
@@ -327,21 +329,33 @@ def _fluid_shared(model: PhysModel, v_com, omega, Rs, Jp, Jr):
 
 
 def _passive_forces(model: PhysModel, q, qd):
-    """Joint springs and soft limits (damping handled implicitly)."""
+    """Joint/tendon springs and soft joint limits (damping implicit)."""
     s = dof_structure(model)
     tau = jnp.zeros(model.nv, q.dtype)
-    if len(s.hs_qadr) == 0:
-        return tau
-    qs = q[jnp.asarray(s.hs_qadr)]
-    spring = -jnp.asarray(s.hs_stiffness, q.dtype) * (
-        qs - jnp.asarray(s.hs_springref, q.dtype)
-    )
-    # Soft limit penalty (klim=300); unlimited joints have ±inf bounds so
-    # both terms vanish.
-    below = jnp.minimum(qs - jnp.asarray(s.hs_lo, q.dtype), 0.0)
-    above = jnp.maximum(qs - jnp.asarray(s.hs_hi, q.dtype), 0.0)
-    lim = -300.0 * (below + above)
-    return tau.at[jnp.asarray(s.hs_dadr)].add(spring + lim)
+    if len(s.hs_qadr):
+        qs = q[jnp.asarray(s.hs_qadr)]
+        spring = -jnp.asarray(s.hs_stiffness, q.dtype) * (
+            qs - jnp.asarray(s.hs_springref, q.dtype)
+        )
+        # Soft limit penalty (klim=300); unlimited joints have ±inf bounds
+        # so both terms vanish.
+        below = jnp.minimum(qs - jnp.asarray(s.hs_lo, q.dtype), 0.0)
+        above = jnp.maximum(qs - jnp.asarray(s.hs_hi, q.dtype), 0.0)
+        lim = -300.0 * (below + above)
+        tau = tau.at[jnp.asarray(s.hs_dadr)].add(spring + lim)
+    # Fixed-tendon springs/dampers: len = Σ coef·q, force mapped back
+    # through the coefs (MuJoCo engine_passive.c tendon branch).
+    for t, triples in enumerate(model.ten_fixed):
+        k = float(model.ten_fixed_stiffness[t])
+        d = float(model.ten_fixed_damping[t])
+        if k == 0.0 and d == 0.0:
+            continue
+        length = sum(coef * q[qadr] for qadr, _, coef in triples)
+        vel = sum(coef * qd[dadr] for _, dadr, coef in triples)
+        f = -k * (length - float(model.ten_fixed_springlen[t])) - d * vel
+        for _, dadr, coef in triples:
+            tau = tau.at[dadr].add(coef * f)
+    return tau
 
 
 def _limit_violation(model: PhysModel, q):
@@ -358,7 +372,11 @@ def _limit_violation(model: PhysModel, q):
 
 
 def _actuator_forces(model: PhysModel, ctrl):
-    """Motor actuators on joints: τ[dof] = gear · ctrl (clipped)."""
+    """Actuators: τ[dof] += coef · clip(ctrl) over the moment rows.
+
+    Joint motors contribute gear·gain at one dof; fixed-tendon actuators
+    (e.g. fish tail) distribute through the tendon's joint coefs.
+    """
     tau = jnp.zeros(model.nv, ctrl.dtype)
     if model.nu == 0:
         return tau
@@ -368,9 +386,10 @@ def _actuator_forces(model: PhysModel, ctrl):
         jnp.asarray(s.act_lo, ctrl.dtype),
         jnp.asarray(s.act_hi, ctrl.dtype),
     )
-    return tau.at[jnp.asarray(s.act_dadr)].add(
-        jnp.asarray(s.act_gear, ctrl.dtype) * c
-    )
+    for a, row in enumerate(s.act_moments):
+        for dadr, coef in row:
+            tau = tau.at[dadr].add(coef * c[a])
+    return tau
 
 
 def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
@@ -412,7 +431,68 @@ def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
     )
     if model.density > 0 or model.viscosity > 0:
         tau = tau + _fluid_shared(model, v_com, omega, k.Rs, Jp, Jr)
+    if _has_spatial_tendons(model):
+        tau = tau + _spatial_tendon_tau(model, k, qd, contact, dtype)
     return M, tau
+
+
+def _has_spatial_tendons(model: PhysModel) -> bool:
+    return (
+        model.ten_spatial_sites is not None
+        and len(model.ten_spatial_sites) > 0
+        and bool(model.ten_spatial_limited.any())
+    )
+
+
+def _spatial_tendon_tau(model: PhysModel, k: _Kin, qd, contact, dtype):
+    """Limit-range penalty for site-to-site tendons (ball_in_cup string).
+
+    MuJoCo enforces tendon limits in the constraint solver; the penalty
+    spring mirrors the ground-contact approximation (one-sided spring +
+    damping along the string while outside the range).
+    """
+    s = dof_structure(model)
+    bm = jnp.asarray(s.body_mask, dtype)  # [nv, nb]
+    tv = qd[:, None] * k.t
+    wv = qd[:, None] * k.w
+    wxc = jnp.cross(wv, k.c)
+    tau = jnp.zeros(model.nv, dtype)
+
+    def site_pos(sid):
+        b = int(model.site_body[sid])
+        local = jnp.asarray(model.site_pos[sid], dtype)
+        return b, k.ps[b] + k.Rs[b] @ local
+
+    def point_vel(b, x):
+        col = bm[:, b]
+        om = col @ wv
+        return col @ tv + jnp.cross(om, x) - col @ wxc
+
+    for t in range(len(model.ten_spatial_sites)):
+        if not bool(model.ten_spatial_limited[t]):
+            continue
+        sa, sb = (int(v) for v in model.ten_spatial_sites[t])
+        ba, xa = site_pos(sa)
+        bb, xb = site_pos(sb)
+        diff = xa - xb
+        length = jnp.linalg.norm(diff) + 1e-9
+        u = diff / length
+        lo, hi = (float(v) for v in model.ten_spatial_range[t])
+        over = jnp.maximum(length - hi, 0.0)
+        under = jnp.maximum(lo - length, 0.0)
+        active = (over > 0) | (under > 0)
+        ldot = jnp.dot(u, point_vel(ba, xa) - point_vel(bb, xb))
+        f_mag = jnp.where(
+            active,
+            -contact.ten_kp * (over - under) - contact.ten_kd * ldot,
+            0.0,
+        )
+        # One-sided: a string can only pull (no pushing when slack).
+        F_a = f_mag * u
+        for b, x, F in ((ba, xa, F_a), (bb, xb, -F_a)):
+            jp = k.t + jnp.cross(k.w, x[None, :] - k.c)  # [nv, 3]
+            tau = tau + bm[:, b] * (jp @ F)
+    return tau
 
 
 def forward(

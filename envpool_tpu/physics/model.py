@@ -82,6 +82,30 @@ class PhysModel:
     qpos0: np.ndarray          # [nq] default pose
     integrator: int            # 0 = Euler (implicit damping), 1 = RK4
 
+    # Actuator gain (MuJoCo gainprm[0]; force = gear · gain · ctrl for
+    # fixed-gain motors/general actuators) and transmission type
+    # (0 = joint, 3 = tendon; mjtTrn).
+    act_gain: np.ndarray = None       # [nu]
+    act_trntype: np.ndarray = None    # [nu]
+
+    # Fixed tendons: length = Σ coef_j · qpos[j] over hinge/slide joints.
+    # Per tendon: tuple of (qposadr, dofadr, coef) triples, plus passive
+    # spring/damping constants (MuJoCo tendon_stiffness/damping applied to
+    # the tendon length/velocity, mapped back through the coefs).
+    ten_fixed: tuple = ()             # ((qadr, dadr, coef), ...) per tendon
+    ten_fixed_stiffness: np.ndarray = None  # [nt_fixed]
+    ten_fixed_damping: np.ndarray = None    # [nt_fixed]
+    ten_fixed_springlen: np.ndarray = None  # [nt_fixed]
+
+    # Spatial tendons (site-to-site strings): limit-range penalty only
+    # (MuJoCo routes these through the constraint solver; the penalty
+    # mirrors the ground-contact approximation).
+    ten_spatial_sites: np.ndarray = None    # [nt_sp, 2] site ids
+    ten_spatial_range: np.ndarray = None    # [nt_sp, 2]
+    ten_spatial_limited: np.ndarray = None  # [nt_sp] bool
+    ten_spatial_stiffness: np.ndarray = None  # [nt_sp]
+    ten_spatial_damping: np.ndarray = None    # [nt_sp]
+
     def __hash__(self) -> int:  # jit static-arg friendliness
         return id(self)
 
@@ -158,6 +182,46 @@ def from_mj_model(m) -> PhysModel:
         else np.zeros(0, np.int32)
     )
     act_gear = m.actuator_gear[:, 0].copy() if m.nu else np.zeros(0)
+    act_gain = (
+        m.actuator_gainprm[:, 0].copy() if m.nu else np.zeros(0)
+    )
+    act_trntype = (
+        m.actuator_trntype.copy() if m.nu else np.zeros(0, np.int32)
+    )
+
+    # Tendons.  Fixed tendons (mjWRAP_JOINT wraps) become joint-coef
+    # lists; spatial ones (mjWRAP_SITE) become site pairs.
+    ten_fixed, tf_k, tf_d, tf_l = [], [], [], []
+    ts_sites, ts_range, ts_lim, ts_k, ts_d = [], [], [], [], []
+    for t in range(m.ntendon):
+        adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+        wraps = [
+            (int(m.wrap_type[i]), int(m.wrap_objid[i]), float(m.wrap_prm[i]))
+            for i in range(adr, adr + num)
+        ]
+        if all(wt == int(mujoco.mjtWrap.mjWRAP_JOINT) for wt, _, _ in wraps):
+            triples = tuple(
+                (
+                    int(m.jnt_qposadr[j]),
+                    int(m.jnt_dofadr[j]),
+                    coef,
+                )
+                for _, j, coef in wraps
+            )
+            ten_fixed.append(triples)
+            tf_k.append(float(m.tendon_stiffness[t]))
+            tf_d.append(float(m.tendon_damping[t]))
+            # lengthspring is [lo, hi] in mujoco >= 2.3; use the midpoint.
+            ls = np.atleast_1d(m.tendon_lengthspring[t])
+            tf_l.append(float(ls.mean()))
+        elif all(wt == int(mujoco.mjtWrap.mjWRAP_SITE) for wt, _, _ in wraps):
+            if num != 2:
+                continue  # multi-site routing unsupported (vis-only in dmc)
+            ts_sites.append([wraps[0][1], wraps[1][1]])
+            ts_range.append(m.tendon_range[t].copy())
+            ts_lim.append(bool(m.tendon_limited[t]))
+            ts_k.append(float(m.tendon_stiffness[t]))
+            ts_d.append(float(m.tendon_damping[t]))
 
     return PhysModel(
         nq=int(m.nq),
@@ -207,6 +271,17 @@ def from_mj_model(m) -> PhysModel:
         viscosity=float(m.opt.viscosity),
         qpos0=m.qpos0.copy(),
         integrator=int(m.opt.integrator),
+        act_gain=act_gain,
+        act_trntype=act_trntype,
+        ten_fixed=tuple(ten_fixed),
+        ten_fixed_stiffness=np.asarray(tf_k),
+        ten_fixed_damping=np.asarray(tf_d),
+        ten_fixed_springlen=np.asarray(tf_l),
+        ten_spatial_sites=np.asarray(ts_sites, np.int32).reshape(-1, 2),
+        ten_spatial_range=np.asarray(ts_range, np.float64).reshape(-1, 2),
+        ten_spatial_limited=np.asarray(ts_lim, bool),
+        ten_spatial_stiffness=np.asarray(ts_k),
+        ten_spatial_damping=np.asarray(ts_d),
     )
 
 

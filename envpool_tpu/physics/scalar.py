@@ -465,17 +465,81 @@ def _smooth_scalar(model: PhysModel, q, qd, ctrl, contact):
             term = _add(term, _mul(-300.0, _add(below, above)))
         tau_pas[da] = _add(tau_pas[da], term)
 
-    # Actuators.
+    # Actuators (moment rows: joint motors and fixed-tendon transmission).
     tau_act = [0.0] * nv
     for a in range(model.nu):
-        da = int(st.act_dadr[a])
         lo, hi = float(st.act_lo[a]), float(st.act_hi[a])
         u = ctrl[a]
         if np.isfinite(lo):
             u = jnp.maximum(u, lo)
         if np.isfinite(hi):
             u = jnp.minimum(u, hi)
-        tau_act[da] = _add(tau_act[da], _mul(float(st.act_gear[a]), u))
+        for dadr, coef in st.act_moments[a]:
+            tau_act[dadr] = _add(tau_act[dadr], _mul(coef, u))
+
+    # Fixed-tendon springs/dampers.
+    for ti, triples in enumerate(model.ten_fixed):
+        kk = float(model.ten_fixed_stiffness[ti])
+        dd = float(model.ten_fixed_damping[ti])
+        if kk == 0.0 and dd == 0.0:
+            continue
+        length = 0.0
+        vel = 0.0
+        for qadr, dadr, coef in triples:
+            length = _add(length, _mul(coef, q[qadr]))
+            vel = _add(vel, _mul(coef, qd[dadr]))
+        f = _sub(
+            _mul(-kk, _sub(length, float(model.ten_fixed_springlen[ti]))),
+            _mul(dd, vel),
+        )
+        for qadr, dadr, coef in triples:
+            tau_pas[dadr] = _add(tau_pas[dadr], _mul(coef, f))
+
+    # Spatial tendon limits (site-to-site strings) → body resultants.
+    if (
+        model.ten_spatial_sites is not None
+        and len(model.ten_spatial_sites)
+        and bool(model.ten_spatial_limited.any())
+    ):
+        for ti in range(len(model.ten_spatial_sites)):
+            if not bool(model.ten_spatial_limited[ti]):
+                continue
+            sa, sb_ = (int(v) for v in model.ten_spatial_sites[ti])
+            ba = int(model.site_body[sa])
+            bb = int(model.site_body[sb_])
+            xa = _vadd(
+                ps[ba],
+                _mv(Rs[ba], tuple(float(v) for v in model.site_pos[sa])),
+            )
+            xb = _vadd(
+                ps[bb],
+                _mv(Rs[bb], tuple(float(v) for v in model.site_pos[sb_])),
+            )
+            diff = _vsub(xa, xb)
+            length = jnp.sqrt(_dot(diff, diff)) + 1e-9
+            u_dir = tuple(d / length for d in diff)
+            lo, hi = (float(v) for v in model.ten_spatial_range[ti])
+            over = jnp.maximum(length - hi, 0.0)
+            under = jnp.maximum(lo - length, 0.0)
+            active = (over > 0) | (under > 0)
+            va = _vadd(
+                tvs_b[ba], _vsub(_cross(omega[ba], xa), wxs_b[ba])
+            )
+            vb = _vadd(
+                tvs_b[bb], _vsub(_cross(omega[bb], xb), wxs_b[bb])
+            )
+            ldot = _dot(u_dir, _vsub(va, vb))
+            f_mag = jnp.where(
+                active,
+                -contact.ten_kp * (over - under) - contact.ten_kd * ldot,
+                0.0,
+            )
+            F_a = _vscale(f_mag, u_dir)
+            for b_, x_, F_ in ((ba, xa, F_a), (bb, xb, _vscale(-1.0, F_a))):
+                if f_b[b_] is None:
+                    f_b[b_], t_b[b_] = V0, V0
+                f_b[b_] = _vsub(f_b[b_], F_)
+                t_b[b_] = _vsub(t_b[b_], _cross(_vsub(x_, x_com[b_]), F_))
 
     # Fluid drag (swimmer models) folds into the body wrenches too.
     if model.density > 0 or model.viscosity > 0:

@@ -146,12 +146,37 @@ class DofStructure:
             np.float32,
         )
 
-        # Actuator tables: dof address + gear + ctrl clip range.
+        # Actuator moment rows: per actuator, ((dof, coef), ...) where
+        # τ[dof] += coef · clip(ctrl).  Joint transmission → one entry with
+        # coef = gear·gain; fixed-tendon transmission (mjTRN_TENDON) →
+        # the tendon's joint coefs scaled by gear·gain.
         nu = model.nu
-        self.act_dadr = np.asarray(
-            [int(model.jnt_dofadr[int(model.act_trnid[a])]) for a in range(nu)],
-            np.int32,
+        gains = (
+            model.act_gain
+            if model.act_gain is not None
+            else np.ones(nu)
         )
+        trntype = (
+            model.act_trntype
+            if model.act_trntype is not None
+            else np.zeros(nu, np.int32)
+        )
+        moments = []
+        for a in range(nu):
+            gg = float(model.act_gear[a]) * float(gains[a])
+            if int(trntype[a]) == 3:  # tendon
+                ten = model.ten_fixed[int(model.act_trnid[a])]
+                moments.append(
+                    tuple((dadr, coef * gg) for _, dadr, coef in ten)
+                )
+            else:  # joint
+                j = int(model.act_trnid[a])
+                moments.append(((int(model.jnt_dofadr[j]), gg),))
+        self.act_moments = tuple(moments)
+        # Legacy single-dof view (used by the einsum path's scatter-add).
+        self.act_dadr = np.asarray(
+            [mo[0][0] for mo in moments], np.int32
+        ) if nu else np.zeros(0, np.int32)
         self.act_gear = np.asarray(
             [float(model.act_gear[a]) for a in range(nu)], np.float32
         )

@@ -213,3 +213,120 @@ def test_new_dmc_ids() -> None:
     ts = env.reset()
     assert ts.observation.joints.shape == (2, 14)
     assert ts.observation.body_velocities.shape == (2, 45)
+
+
+# ---------------------------------------------------------------------------
+# Wave-2 domains: observable/reward alignment with injected states (the
+# dynamics-independent half of the reference's dmc alignment strategy) and
+# full lockstep where the model is constraint-free (lqr).
+# ---------------------------------------------------------------------------
+
+
+def _inject_and_compare(domain, task, our_id, set_extras=None, n_states=5,
+                        tol=2e-3, task_kwargs=None):
+    """Set random joint states in BOTH sims, compare per-state rewards."""
+    ref = dm_suite.load(domain, task, task_kwargs=task_kwargs or {"random": 0})
+    ref.reset()
+    env = envpool_tpu.make_spec(our_id, num_envs=1).env
+    rng = np.random.default_rng(1)
+    for i in range(n_states):
+        qpos = ref.physics.data.qpos.copy()
+        qpos += rng.uniform(-0.1, 0.1, qpos.shape)
+        # Renormalize free-joint quaternions.
+        for j in range(ref.physics.model.njnt):
+            if ref.physics.model.jnt_type[j] == 0:
+                adr = ref.physics.model.jnt_qposadr[j]
+                q = qpos[adr + 3 : adr + 7]
+                qpos[adr + 3 : adr + 7] = q / np.linalg.norm(q)
+        qvel = rng.uniform(-0.2, 0.2, ref.physics.data.qvel.shape)
+        with ref.physics.reset_context():
+            ref.physics.data.qpos[:] = qpos
+            ref.physics.data.qvel[:] = qvel
+        ref_reward = ref.task.get_reward(ref.physics)
+        extras = set_extras(ref) if set_extras else {}
+        a = np.zeros(env.model.nu, np.float32)
+        ours = env.reward_dmc(
+            jnp.asarray(qpos, jnp.float32),
+            jnp.asarray(qvel, jnp.float32),
+            jnp.asarray(a),
+            extras,
+        )
+        assert abs(float(ours) - float(ref_reward)) < tol, (
+            domain, task, i, float(ours), float(ref_reward)
+        )
+
+
+def test_ball_in_cup_reward_alignment() -> None:
+    _inject_and_compare("ball_in_cup", "catch", "BallInCupCatch-v1")
+
+
+def test_fish_upright_reward_alignment() -> None:
+    _inject_and_compare("fish", "upright", "FishUpright-v1")
+
+
+def test_fish_swim_reward_alignment() -> None:
+    def extras(ref):
+        t = ref.physics.named.model.geom_pos["target"].copy()
+        return {"target": jnp.asarray(t, jnp.float32)}
+
+    _inject_and_compare("fish", "swim", "FishSwim-v1", set_extras=extras)
+
+
+def test_humanoid_reward_alignment() -> None:
+    _inject_and_compare("humanoid", "stand", "HumanoidStand-v1")
+    _inject_and_compare("humanoid", "walk", "HumanoidWalk-v1")
+
+
+def test_humanoid_cmu_reward_alignment() -> None:
+    _inject_and_compare("humanoid_CMU", "stand", "HumanoidCMUStand-v1")
+
+
+def test_humanoid_obs_alignment() -> None:
+    """Extremities/com_velocity/head_height must match dm_control."""
+    ref = dm_suite.load("humanoid", "stand", task_kwargs={"random": 0})
+    ref.reset()
+    env = envpool_tpu.make_spec("HumanoidStand-v1", num_envs=1).env
+    qpos = ref.physics.data.qpos.copy()
+    qvel = np.random.default_rng(2).uniform(-0.3, 0.3, ref.physics.data.qvel.shape)
+    with ref.physics.reset_context():
+        ref.physics.data.qpos[:] = qpos
+        ref.physics.data.qvel[:] = qvel
+    want = ref.task.get_observation(ref.physics)
+    got = env.observe_dmc(
+        jnp.asarray(qpos, jnp.float32), jnp.asarray(qvel, jnp.float32), {}
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["head_height"]), want["head_height"], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["extremities"]), want["extremities"], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["com_velocity"]), want["com_velocity"], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["torso_vertical"]), want["torso_vertical"], atol=1e-4
+    )
+
+
+def test_lqr_lockstep_alignment() -> None:
+    """Constraint-free linear system: full dynamics lockstep vs dm_control."""
+    ref = dm_suite.load("lqr", "lqr_2_1", task_kwargs={"random": 42})
+    ref.reset()
+    env = envpool_tpu.make_spec("LqrLqr21-v1", num_envs=1).env
+    state = {
+        "qpos": jnp.asarray(ref.physics.data.qpos.copy(), jnp.float32),
+        "qvel": jnp.asarray(ref.physics.data.qvel.copy(), jnp.float32),
+        "extras": {},
+    }
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    for _ in range(20):
+        a = rng.uniform(-1, 1, env.model.nu).astype(np.float32)
+        ts = ref.step(a)
+        out = env.step_env(state, jnp.asarray(a), key)
+        state = out.state
+        np.testing.assert_allclose(
+            np.asarray(state["qpos"]), ref.physics.data.qpos, atol=2e-3
+        )
+        assert abs(float(out.reward) - float(ts.reward)) < 2e-3
