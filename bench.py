@@ -122,7 +122,7 @@ def main() -> None:
         f"(ref DGX-A100 numa+async best 3,134,287 FPS)",
         file=sys.stderr,
     )
-    pong_steps = _bench("Pong-v5", 2048, 256, 6)
+    pong_steps = _bench("PongLite-v5", 2048, 256, 6)
     pong_fps = pong_steps * 4  # frame_skip=4, reference FPS counts frames
     print(
         f"pong: {pong_steps:,.0f} env-steps/s = {pong_fps:,.0f} FPS "

@@ -1,4 +1,12 @@
-"""Atari-class registration.
+"""Atari-class pixel-env registration.
+
+These are faithful-behavior arcade cores, NOT the ALE: score digits are
+not rasterized and RAM maps differ, so they are registered under honest
+``XxxLite-v5`` ids rather than squatting the reference's ALE ids
+(``envpool/atari/registration.py:21-35`` registers real ALE ROMs as
+``Xxx-v5``).  The wrapper pipeline (grayscale, resize, frame-stack,
+max-pool, reward clip, episodic life, noop/fire reset) matches the
+reference config surface exactly.
 
 The reference registers ~104 ALE ROMs as ``Xxx-v5``
 (``envpool/atari/registration.py:21-35``) with ``max_episode_steps=108000``
@@ -11,7 +19,7 @@ from ...core.registry import register
 _PATH = "envpool_tpu.envs.atari"
 
 register(
-    task_id="Pong-v5",
+    task_id="PongLite-v5",
     import_path=_PATH,
     env_cls="PongEnv",
     max_episode_steps=27000,
@@ -19,7 +27,7 @@ register(
 )
 
 register(
-    task_id="Breakout-v5",
+    task_id="BreakoutLite-v5",
     import_path=_PATH,
     env_cls="BreakoutEnv",
     max_episode_steps=27000,
@@ -27,7 +35,7 @@ register(
 )
 
 register(
-    task_id="Freeway-v5",
+    task_id="FreewayLite-v5",
     import_path=_PATH,
     env_cls="FreewayEnv",
     max_episode_steps=27000,
@@ -35,7 +43,7 @@ register(
 )
 
 register(
-    task_id="SpaceInvaders-v5",
+    task_id="SpaceInvadersLite-v5",
     import_path=_PATH,
     env_cls="SpaceInvadersEnv",
     max_episode_steps=27000,

@@ -130,7 +130,7 @@ def step_agent(grid, agent_pos, agent_dir, carrying, action):
         do_drop, jnp.asarray([EMPTY, 0], jnp.int8), new_carrying
     )
 
-    # Toggle doors (boxes not spawned with contents in our tasks).
+    # Toggle doors.
     is_door = fwd_cell[0] == DOOR
     door_state = fwd_cell[2]
     has_key = (carrying[0] == KEY) & (carrying[1] == fwd_cell[1])
@@ -144,7 +144,28 @@ def step_agent(grid, agent_pos, agent_dir, carrying, action):
         jnp.where(do_toggle, new_door_state, grid[fy, fx, 2])
     )
 
+    # Toggle boxes: the box is replaced by its contents (MiniGrid
+    # Box.toggle).  Contents are encoded in the state channel as
+    # ``1 + type*8 + color`` (0 = empty box) — see ``box_contents``.
+    do_box = (action == TOGGLE) & (fwd_cell[0] == BOX)
+    enc = fwd_cell[2].astype(jnp.int32)
+    c_type = ((enc - 1) // 8).astype(jnp.int8)
+    c_color = ((enc - 1) % 8).astype(jnp.int8)
+    revealed = jnp.where(
+        enc > 0,
+        jnp.stack([c_type, c_color, jnp.int8(0)]),
+        jnp.asarray([EMPTY, 0, 0], jnp.int8),
+    )
+    grid = grid.at[fy, fx].set(
+        jnp.where(do_box, revealed, grid[fy, fx])
+    )
+
     return grid, new_pos, new_dir, new_carrying, reached_goal, stepped_lava
+
+
+def box_contents(obj_type, color):
+    """State-channel encoding for an object hidden inside a box."""
+    return 1 + obj_type * 8 + color
 
 
 def egocentric_view(grid, agent_pos, agent_dir, carrying, view: int = 7):

@@ -7,7 +7,7 @@ import envpool_tpu
 
 
 def test_pong_spec_surface() -> None:
-    spec = envpool_tpu.make_spec("Pong-v5", num_envs=2)
+    spec = envpool_tpu.make_spec("PongLite-v5", num_envs=2)
     assert spec.config.stack_num == 4
     assert spec.config.frame_skip == 4
     assert spec.config.max_episode_steps == 27000
@@ -21,7 +21,7 @@ def test_pong_spec_surface() -> None:
 
 def test_pong_rgb_and_resize_config() -> None:
     env = envpool_tpu.make(
-        "Pong-v5",
+        "PongLite-v5",
         env_type="gymnasium",
         num_envs=2,
         gray_scale=False,
@@ -34,7 +34,7 @@ def test_pong_rgb_and_resize_config() -> None:
 
 
 def test_pong_plays_and_scores() -> None:
-    env = envpool_tpu.make("Pong-v5", env_type="gymnasium", num_envs=4, seed=0)
+    env = envpool_tpu.make("PongLite-v5", env_type="gymnasium", num_envs=4, seed=0)
     obs, info = env.reset()
     assert obs.dtype == np.uint8
     # Background luma is 87; bands 236 → both present in the frame.
@@ -56,7 +56,7 @@ def test_pong_plays_and_scores() -> None:
 
 def test_breakout_episodic_life_and_reward_clip() -> None:
     env = envpool_tpu.make(
-        "Breakout-v5",
+        "BreakoutLite-v5",
         env_type="gymnasium",
         num_envs=4,
         seed=1,
@@ -83,7 +83,7 @@ def test_breakout_episodic_life_and_reward_clip() -> None:
 
 def test_breakout_game_over_restores_lives() -> None:
     env = envpool_tpu.make(
-        "Breakout-v5", env_type="gymnasium", num_envs=2, seed=2,
+        "BreakoutLite-v5", env_type="gymnasium", num_envs=2, seed=2,
         episodic_life=True,
     )
     env.reset()
@@ -100,7 +100,7 @@ def test_breakout_game_over_restores_lives() -> None:
 
 def test_frame_stack_shifts() -> None:
     env = envpool_tpu.make(
-        "Pong-v5", env_type="gymnasium", num_envs=1, seed=0
+        "PongLite-v5", env_type="gymnasium", num_envs=1, seed=0
     )
     obs0, _ = env.reset()
     # At reset all stack slots are the same frame (push_all).
@@ -114,7 +114,7 @@ def test_frame_stack_shifts() -> None:
 
 def test_sticky_actions_config_accepted() -> None:
     env = envpool_tpu.make(
-        "Pong-v5",
+        "PongLite-v5",
         env_type="gymnasium",
         num_envs=2,
         repeat_action_probability=0.25,

@@ -119,3 +119,56 @@ def test_list_registered():
     ids = ep.list_all_envs()
     for task in ["Highway-v0", "HighwayFast-v0", "highway-v0"]:
         assert task in ids
+
+
+def test_parking_goal_env_reaches_success() -> None:
+    """A crude pull-toward-goal policy parks within the episode budget."""
+    import jax.numpy as jnp
+    import envpool_tpu
+    from envpool_tpu.envs.highway.scenarios import ParkingEnv
+
+    env = envpool_tpu.make("Parking-v0", env_type="gymnasium", num_envs=16,
+                           seed=3)
+    obs, _ = env.reset()
+    success = False
+    for _ in range(100):
+        delta = obs["desired_goal"] - obs["achieved_goal"]
+        # Heading toward goal: steer by bearing error, gentle throttle.
+        import numpy as np
+
+        tx, ty = delta[:, 0] * 100, delta[:, 1] * 100
+        cos_h, sin_h = obs["achieved_goal"][:, 4], obs["achieved_goal"][:, 5]
+        bearing = np.arctan2(ty, tx)
+        heading = np.arctan2(sin_h, cos_h)
+        herr = (bearing - heading + np.pi) % (2 * np.pi) - np.pi
+        act = np.stack(
+            [0.3 * np.ones_like(herr), np.clip(herr, -1, 1)], 1
+        ).astype(np.float32)
+        obs, r, te, tr, info = env.step(act)
+        if info["is_success"].any():
+            success = True
+            break
+    assert success
+
+
+def test_parking_reward_formula() -> None:
+    import jax.numpy as jnp
+    import numpy as np
+    from envpool_tpu.envs.highway.scenarios import ParkingEnv, _WEIGHTS
+
+    a = jnp.asarray([0.1, 0.0, 0.0, 0.0, 1.0, 0.0])
+    d = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0, 0.0])
+    r = float(ParkingEnv.goal_reward(a, d))
+    assert abs(r - (-(0.1 ** 0.5))) < 1e-6
+
+
+def test_lane_keeping_centered_reward() -> None:
+    import numpy as np
+    import envpool_tpu
+
+    env = envpool_tpu.make("LaneKeeping-v0", env_type="gymnasium",
+                           num_envs=4, seed=0)
+    obs, _ = env.reset()
+    # Reward near 1 when the lateral error is small at reset.
+    obs, r, te, tr, _ = env.step(np.zeros((4, 1), np.float32))
+    assert (r > 0.3).all()

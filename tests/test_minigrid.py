@@ -100,8 +100,10 @@ def test_doorkey_pickup_and_unlock() -> None:
 
 
 def test_registration_count() -> None:
-    tasks = [t for t in envpool_tpu.list_all_envs() if "MiniGrid" in t]
-    assert len(tasks) == 48
+    tasks = [t for t in envpool_tpu.list_all_envs() if t.startswith("MiniGrid")]
+    assert len(tasks) == 81  # id-count parity with the reference
+    babyai = [t for t in envpool_tpu.list_all_envs() if t.startswith("BabyAI")]
+    assert len(babyai) == 96
 
 
 def test_determinism_random_tasks() -> None:

@@ -22,7 +22,7 @@ def test_cartpole_render() -> None:
 
 
 def test_pong_render() -> None:
-    env = envpool_tpu.make("Pong-v5", env_type="gymnasium", num_envs=2, seed=0)
+    env = envpool_tpu.make("PongLite-v5", env_type="gymnasium", num_envs=2, seed=0)
     env.reset()
     frames = env.render()
     assert frames.shape == (2, 210, 160, 3)
