@@ -1,6 +1,7 @@
 """dm_control-suite env family over the TPU physics engine."""
 
 from .tasks2 import (
+    FingerEnv,
     BallInCupEnv,
     DmcHumanoidEnv,
     FishEnv,
@@ -20,6 +21,7 @@ from .tasks import (
 )
 
 __all__ = [
+    "FingerEnv",
     "BallInCupEnv",
     "DmcHumanoidEnv",
     "FishEnv",

@@ -89,3 +89,16 @@ for task_id, env_cls, task_name in (
         task_name=task_name,
         max_episode_steps=1000,
     )
+
+for task_id, task_name in (
+    ("FingerSpin-v1", "spin"),
+    ("FingerTurnEasy-v1", "turn_easy"),
+    ("FingerTurnHard-v1", "turn_hard"),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="FingerEnv",
+        task_name=task_name,
+        max_episode_steps=1000,
+    )

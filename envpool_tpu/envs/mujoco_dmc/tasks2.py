@@ -331,3 +331,133 @@ class HumanoidCMUEnv(DmcHumanoidEnv):
     def init_state(self, key):
         qpos = self.randomize_joints(key)
         return qpos, jnp.zeros(self.model.nv, jnp.float32), {}
+
+
+class FingerEnv(DmcEnv):
+    """finger:{spin,turn_easy,turn_hard} — needs body-body contacts
+    (fingertip capsule vs spinner capsules, ``physics.model`` pair list).
+
+    Touch sensor approximation: MuJoCo's touch sensors integrate contact
+    normal force inside the sensor site volume; here the two values are
+    the penalty normal forces of the (fingertip, cap1/cap2) pairs,
+    log1p-scaled like dm_control ``Physics.touch``.
+    """
+
+    DOMAIN = "finger"
+    CONTROL_TIMESTEP = 0.02
+    _EASY_RADIUS = 0.07
+    _HARD_RADIUS = 0.03
+    _SPIN_VELOCITY = 15.0
+    DEFAULT_CONFIG = dict(DmcEnv.DEFAULT_CONFIG, substeps=2)
+
+    def __init__(self, config):
+        super().__init__(config)
+        import dataclasses as _dc
+        import mujoco
+
+        m = self._mj_model
+        # Spin sets hinge damping to 0.03 at episode init; static here.
+        hinge = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, "hinge")
+        self._hinge_dof = int(m.jnt_dofadr[hinge])
+        self._hinge_qadr = int(m.jnt_qposadr[hinge])
+        damping = np.asarray(self.model.dof_damping).copy()
+        if self.task == "spin":
+            damping[self._hinge_dof] = 0.03
+        self.model = _dc.replace(self.model, dof_damping=damping)
+        self.contact = self.contact._replace(pairs=True)
+        # Geometry for tip/target relative to the spinner hinge anchor.
+        self._spinner_body = self.body_index("spinner")
+        tip = m.site("tip")
+        self._tip_local = tip.pos.copy()
+        cap1 = m.geom("cap1")
+        self._turn_radius = float(cap1.size[0] + cap1.size[1])
+        self._hinge_anchor_local = m.jnt_pos[hinge].copy()
+        prox = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, "proximal")
+        dist = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, "distal")
+        self._prox_qadr = int(m.jnt_qposadr[prox])
+        self._dist_qadr = int(m.jnt_qposadr[dist])
+        self._prox_dof = int(m.jnt_dofadr[prox])
+        self._dist_dof = int(m.jnt_dofadr[dist])
+        # Touch channels: the (fingertip, cap1/cap2) pairs — fingertip is
+        # on the distal body.  Order = (touchtop=cap1, touchbottom=cap2).
+        distal_body = self.body_index("distal")
+        self._touch_pairs = [
+            i
+            for i in range(len(self.model.pair_body))
+            if int(self.model.pair_body[i][0]) == distal_body
+        ][:2]
+
+    def _extras_spec(self):
+        if self.task != "spin":
+            return {"target": (2,)}  # (x, z) relative to hinge anchor
+        return {}
+
+    def init_state(self, key):
+        k1, k2 = jax.random.split(key)
+        qpos = self.randomize_joints(k1)
+        extras = {}
+        if self.task != "spin":
+            angle = jax.random.uniform(k2, (), jnp.float32, -jnp.pi, jnp.pi)
+            extras["target"] = self._turn_radius * jnp.stack(
+                [jnp.sin(angle), jnp.cos(angle)]
+            )
+        return qpos, jnp.zeros(self.model.nv, jnp.float32), extras
+
+    def _hinge_anchor(self, qpos):
+        Rs, ps = fk(self.model, qpos)
+        b = self._spinner_body
+        return ps[b] + Rs[b] @ jnp.asarray(
+            self._hinge_anchor_local, jnp.float32
+        ), (Rs, ps)
+
+    def _tip_rel(self, qpos):
+        """(x, z) of the tip site relative to the hinge anchor."""
+        anchor, (Rs, ps) = self._hinge_anchor(qpos)
+        b = self._spinner_body
+        tip = ps[b] + Rs[b] @ jnp.asarray(self._tip_local, jnp.float32)
+        rel = tip - anchor
+        return rel[jnp.asarray([0, 2])]
+
+    def _touch(self, qpos, qvel):
+        """log1p normal forces of the fingertip/spinner pairs."""
+        from ...physics.dynamics import _kin, _pair_fn
+
+        forces = _pair_fn(self.model, qpos, qvel, self.contact)
+        return jnp.log1p(forces[jnp.asarray(self._touch_pairs)])
+
+    def observe_dmc(self, qpos, qvel, extras):
+        pos = jnp.stack(
+            [qpos[self._prox_qadr], qpos[self._dist_qadr]]
+        )
+        tip = self._tip_rel(qpos)
+        obs = {
+            "position": jnp.concatenate([pos, tip]),
+            "velocity": jnp.stack(
+                [
+                    qvel[self._prox_dof],
+                    qvel[self._dist_dof],
+                    qvel[self._hinge_dof],
+                ]
+            ),
+            "touch": self._touch(qpos, qvel),
+        }
+        if self.task != "spin":
+            obs["target_position"] = extras["target"]
+            obs["dist_to_target"] = self._dist_to_target(qpos, extras)
+        return obs
+
+    def _dist_to_target(self, qpos, extras):
+        radius = (
+            self._EASY_RADIUS if self.task == "turn_easy"
+            else self._HARD_RADIUS
+        )
+        return (
+            jnp.linalg.norm(extras["target"] - self._tip_rel(qpos)) - radius
+        )
+
+    def reward_dmc(self, qpos, qvel, action, extras):
+        if self.task == "spin":
+            return (
+                qvel[self._hinge_dof] <= -self._SPIN_VELOCITY
+            ).astype(jnp.float32)
+        return (self._dist_to_target(qpos, extras) <= 0).astype(jnp.float32)

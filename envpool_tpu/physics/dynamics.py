@@ -83,6 +83,11 @@ class ContactParams(NamedTuple):
     vs: float = 0.05     # friction velocity smoothing (m/s)
     ten_kp: float = 2.0e3  # spatial-tendon limit penalty stiffness
     ten_kd: float = 2.0e1  # spatial-tendon limit penalty damping
+    # Body-body (sphere/capsule pair) contacts: opt-in per env so the
+    # ground-contact-only locomotion models keep their aligned dynamics.
+    pairs: bool = False
+    pair_kp: float = 1.0e4
+    pair_kd: float = 1.0e2
 
 
 def _contact_points(model: PhysModel, Rs, ps):
@@ -433,7 +438,126 @@ def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
         tau = tau + _fluid_shared(model, v_com, omega, k.Rs, Jp, Jr)
     if _has_spatial_tendons(model):
         tau = tau + _spatial_tendon_tau(model, k, qd, contact, dtype)
+    if (
+        contact.pairs
+        and model.pair_body is not None
+        and len(model.pair_body)
+    ):
+        tau = tau + _pair_contact_tau(model, k, qd, contact, dtype)
     return M, tau
+
+
+def _seg_closest(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1], [p2,q2] (Ericson 5.1.9)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.dot(d1, d1) + 1e-12
+    e = jnp.dot(d2, d2) + 1e-12
+    f = jnp.dot(d2, r)
+    c = jnp.dot(d1, r)
+    b = jnp.dot(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(
+        denom > 1e-12, jnp.clip((b * f - c * e) / denom, 0.0, 1.0), 0.0
+    )
+    t = (b * s + f) / e
+    s = jnp.where(
+        t < 0.0,
+        jnp.clip(-c / a, 0.0, 1.0),
+        jnp.where(t > 1.0, jnp.clip((b - c) / a, 0.0, 1.0), s),
+    )
+    t = jnp.clip(t, 0.0, 1.0)
+    return p1 + s * d1, p2 + t * d2
+
+
+def _pair_fn(model: PhysModel, q, qd, contact):
+    """Per-pair contact normal forces [n_pairs] (touch-sensor observable)."""
+    k = _kin(model, q)
+    s = dof_structure(model)
+    dtype = q.dtype
+    bm = jnp.asarray(s.body_mask, dtype)
+    tv = qd[:, None] * k.t
+    wv = qd[:, None] * k.w
+    wxc = jnp.cross(wv, k.c)
+    out = []
+    for p in range(len(model.pair_body)):
+        ba, bb = (int(v) for v in model.pair_body[p])
+        sa = jnp.asarray(model.pair_seg_a[p], dtype)
+        sb = jnp.asarray(model.pair_seg_b[p], dtype)
+        ra, rb = (float(v) for v in model.pair_radius[p])
+        a0 = k.ps[ba] + k.Rs[ba] @ sa[0]
+        a1 = k.ps[ba] + k.Rs[ba] @ sa[1]
+        b0 = k.ps[bb] + k.Rs[bb] @ sb[0]
+        b1 = k.ps[bb] + k.Rs[bb] @ sb[1]
+        pa, pb = _seg_closest(a0, a1, b0, b1)
+        delta = pa - pb
+        dist = jnp.linalg.norm(delta) + 1e-9
+        n = delta / dist
+        pen = (ra + rb) - dist
+
+        def pv(b, x):
+            col = bm[:, b]
+            om = col @ wv
+            return col @ tv + jnp.cross(om, x) - col @ wxc
+
+        vn = jnp.dot(pv(ba, pa) - pv(bb, pb), n)
+        fn = jnp.where(
+            pen > 0, contact.pair_kp * pen - contact.pair_kd * vn, 0.0
+        )
+        out.append(jnp.maximum(fn, 0.0))
+    return jnp.stack(out) if out else jnp.zeros(0, q.dtype)
+
+
+def _pair_contact_tau(model: PhysModel, k: _Kin, qd, contact, dtype):
+    """Sphere/capsule pair penalty contacts (body-body).
+
+    Mirrors the ground-plane penalty model: one-sided normal spring +
+    damping at the closest points, smooth Coulomb friction on the
+    tangential relative velocity.  Replaces MuJoCo's LCP contacts at
+    behavior level (SURVEY.md §7 hard part 1).
+    """
+    s = dof_structure(model)
+    bm = jnp.asarray(s.body_mask, dtype)
+    tv = qd[:, None] * k.t
+    wv = qd[:, None] * k.w
+    wxc = jnp.cross(wv, k.c)
+    tau = jnp.zeros(model.nv, dtype)
+
+    def point_vel(b, x):
+        col = bm[:, b]
+        om = col @ wv
+        return col @ tv + jnp.cross(om, x) - col @ wxc
+
+    for p in range(len(model.pair_body)):
+        ba, bb = (int(v) for v in model.pair_body[p])
+        sa = jnp.asarray(model.pair_seg_a[p], dtype)
+        sb = jnp.asarray(model.pair_seg_b[p], dtype)
+        ra, rb = (float(v) for v in model.pair_radius[p])
+        a0 = k.ps[ba] + k.Rs[ba] @ sa[0]
+        a1 = k.ps[ba] + k.Rs[ba] @ sa[1]
+        b0 = k.ps[bb] + k.Rs[bb] @ sb[0]
+        b1 = k.ps[bb] + k.Rs[bb] @ sb[1]
+        pa, pb = _seg_closest(a0, a1, b0, b1)
+        delta = pa - pb
+        dist = jnp.linalg.norm(delta) + 1e-9
+        n = delta / dist
+        pen = (ra + rb) - dist
+        v_rel = point_vel(ba, pa) - point_vel(bb, pb)
+        vn = jnp.dot(v_rel, n)
+        fn = jnp.where(
+            pen > 0, contact.pair_kp * pen - contact.pair_kd * vn, 0.0
+        )
+        fn = jnp.maximum(fn, 0.0)
+        vt = v_rel - vn * n
+        vt_norm = jnp.linalg.norm(vt) + 1e-9
+        mu = float(model.pair_friction[p]) * contact.mu_scale
+        ft = -mu * fn * jnp.tanh(vt_norm / contact.vs) * vt / vt_norm
+        F_a = fn * n + ft
+        for b, x, F in ((ba, pa, F_a), (bb, pb, -F_a)):
+            jp = k.t + jnp.cross(k.w, x[None, :] - k.c)
+            tau = tau + bm[:, b] * (jp @ F)
+    return tau
 
 
 def _has_spatial_tendons(model: PhysModel) -> bool:

@@ -106,6 +106,15 @@ class PhysModel:
     ten_spatial_stiffness: np.ndarray = None  # [nt_sp]
     ten_spatial_damping: np.ndarray = None    # [nt_sp]
 
+    # Body-body contact pairs: sphere/capsule geoms on different bodies
+    # that pass MuJoCo's collision filter.  Each geom is a segment
+    # (p0 == p1 for spheres) + radius in its body frame.
+    pair_body: np.ndarray = None      # [np, 2] body ids (a, b)
+    pair_seg_a: np.ndarray = None     # [np, 2, 3] local endpoints of a
+    pair_seg_b: np.ndarray = None     # [np, 2, 3]
+    pair_radius: np.ndarray = None    # [np, 2] radii (a, b)
+    pair_friction: np.ndarray = None  # [np] sliding friction
+
     def __hash__(self) -> int:  # jit static-arg friendliness
         return id(self)
 
@@ -175,6 +184,60 @@ def from_mj_model(m) -> PhysModel:
                 con_radius.append(float(size[0]))
                 con_fric.append(fric)
         # Boxes/planes/other types: skipped (not needed for the suite).
+
+    # Body-body contact pairs (sphere/capsule only), following MuJoCo's
+    # default broadphase filter: contype/conaffinity compatibility,
+    # different bodies, parent-child excluded unless the parent is the
+    # world (engine_collision_driver.c mj_collision filterparent).
+    def _segment(g):
+        gtype = int(m.geom_type[g])
+        pos = m.geom_pos[g].copy()
+        if gtype == int(mujoco.mjtGeom.mjGEOM_SPHERE):
+            return np.stack([pos, pos]), float(m.geom_size[g][0])
+        if gtype == int(mujoco.mjtGeom.mjGEOM_CAPSULE):
+            half = float(m.geom_size[g][1])
+            zdir = _quat_rotate_np(m.geom_quat[g], np.array([0.0, 0.0, 1.0]))
+            return (
+                np.stack([pos - half * zdir, pos + half * zdir]),
+                float(m.geom_size[g][0]),
+            )
+        return None, None
+
+    pair_body, pair_sa, pair_sb, pair_rad, pair_fric = [], [], [], [], []
+    if contacts_enabled:
+        for g1 in range(m.ngeom):
+            s1, r1 = _segment(g1)
+            if s1 is None:
+                continue
+            b1 = int(m.geom_bodyid[g1])
+            if b1 == 0:
+                continue
+            for g2 in range(g1 + 1, m.ngeom):
+                s2, r2 = _segment(g2)
+                if s2 is None:
+                    continue
+                b2 = int(m.geom_bodyid[g2])
+                if b2 == 0 or b1 == b2:
+                    continue
+                compat = (
+                    int(m.geom_contype[g1]) & int(m.geom_conaffinity[g2])
+                ) or (int(m.geom_contype[g2]) & int(m.geom_conaffinity[g1]))
+                if not compat:
+                    continue
+                # filterparent: skip parent-child body pairs.
+                if (
+                    int(m.body_parentid[b1]) == b2
+                    or int(m.body_parentid[b2]) == b1
+                ):
+                    continue
+                pair_body.append([b1, b2])
+                pair_sa.append(s1)
+                pair_sb.append(s2)
+                pair_rad.append([r1, r2])
+                pair_fric.append(
+                    max(float(m.geom_friction[g1][0]),
+                        float(m.geom_friction[g2][0]))
+                )
 
     act_trnid = (
         m.actuator_trnid[:, 0].copy()
@@ -282,6 +345,11 @@ def from_mj_model(m) -> PhysModel:
         ten_spatial_limited=np.asarray(ts_lim, bool),
         ten_spatial_stiffness=np.asarray(ts_k),
         ten_spatial_damping=np.asarray(ts_d),
+        pair_body=np.asarray(pair_body, np.int32).reshape(-1, 2),
+        pair_seg_a=np.asarray(pair_sa, np.float64).reshape(-1, 2, 3),
+        pair_seg_b=np.asarray(pair_sb, np.float64).reshape(-1, 2, 3),
+        pair_radius=np.asarray(pair_rad, np.float64).reshape(-1, 2),
+        pair_friction=np.asarray(pair_fric, np.float64),
     )
 
 

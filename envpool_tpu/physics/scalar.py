@@ -541,6 +541,73 @@ def _smooth_scalar(model: PhysModel, q, qd, ctrl, contact):
                 f_b[b_] = _vsub(f_b[b_], F_)
                 t_b[b_] = _vsub(t_b[b_], _cross(_vsub(x_, x_com[b_]), F_))
 
+    # Body-body pair contacts (opt-in; mirrors dynamics._pair_contact_tau).
+    if (
+        getattr(contact, "pairs", False)
+        and model.pair_body is not None
+        and len(model.pair_body)
+    ):
+        for p in range(len(model.pair_body)):
+            ba, bb = (int(v) for v in model.pair_body[p])
+            ra, rb = (float(v) for v in model.pair_radius[p])
+            sa = model.pair_seg_a[p]
+            sb = model.pair_seg_b[p]
+            a0 = _vadd(ps[ba], _mv(Rs[ba], tuple(float(v) for v in sa[0])))
+            a1 = _vadd(ps[ba], _mv(Rs[ba], tuple(float(v) for v in sa[1])))
+            b0 = _vadd(ps[bb], _mv(Rs[bb], tuple(float(v) for v in sb[0])))
+            b1 = _vadd(ps[bb], _mv(Rs[bb], tuple(float(v) for v in sb[1])))
+            d1v = _vsub(a1, a0)
+            d2v = _vsub(b1, b0)
+            rv = _vsub(a0, b0)
+            a_ = _add(_dot(d1v, d1v), 1e-12)
+            e_ = _add(_dot(d2v, d2v), 1e-12)
+            f_ = _dot(d2v, rv)
+            c_ = _dot(d1v, rv)
+            b_ = _dot(d1v, d2v)
+            denom = _sub(_mul(a_, e_), _mul(b_, b_))
+            s_par = jnp.where(
+                denom > 1e-12,
+                jnp.clip((_sub(_mul(b_, f_), _mul(c_, e_))) / denom, 0.0, 1.0),
+                0.0,
+            )
+            t_par = (_add(_mul(b_, s_par), f_)) / e_
+            s_par = jnp.where(
+                t_par < 0.0,
+                jnp.clip(-c_ / a_, 0.0, 1.0),
+                jnp.where(
+                    t_par > 1.0,
+                    jnp.clip((_sub(b_, c_)) / a_, 0.0, 1.0),
+                    s_par,
+                ),
+            )
+            t_par = jnp.clip(t_par, 0.0, 1.0)
+            pa = _vadd(a0, _vscale(s_par, d1v))
+            pb = _vadd(b0, _vscale(t_par, d2v))
+            delta = _vsub(pa, pb)
+            dist = jnp.sqrt(_dot(delta, delta)) + 1e-9
+            n_dir = tuple(d / dist for d in delta)
+            pen = _sub(ra + rb, dist)
+            va = _vadd(tvs_b[ba], _vsub(_cross(omega[ba], pa), wxs_b[ba]))
+            vb = _vadd(tvs_b[bb], _vsub(_cross(omega[bb], pb), wxs_b[bb]))
+            v_rel = _vsub(va, vb)
+            vn = _dot(v_rel, n_dir)
+            fn = jnp.where(
+                pen > 0, contact.pair_kp * pen - contact.pair_kd * vn, 0.0
+            )
+            fn = jnp.maximum(fn, 0.0)
+            vt = _vsub(v_rel, _vscale(vn, n_dir))
+            vt_norm = jnp.sqrt(_dot(vt, vt)) + 1e-9
+            mu = float(model.pair_friction[p]) * contact.mu_scale
+            coef = mu * fn * jnp.tanh(vt_norm / contact.vs) / vt_norm
+            F_a = tuple(
+                _add(_mul(fn, n_dir[i]), _mul(-coef, vt[i])) for i in range(3)
+            )
+            for b2, x2, F2 in ((ba, pa, F_a), (bb, pb, _vscale(-1.0, F_a))):
+                if f_b[b2] is None:
+                    f_b[b2], t_b[b2] = V0, V0
+                f_b[b2] = _vsub(f_b[b2], F2)
+                t_b[b2] = _vsub(t_b[b2], _cross(_vsub(x2, x_com[b2]), F2))
+
     # Fluid drag (swimmer models) folds into the body wrenches too.
     if model.density > 0 or model.viscosity > 0:
         _fluid_scalar(model, Rs, v_com, omega, f_b, t_b)

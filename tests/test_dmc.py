@@ -330,3 +330,50 @@ def test_lqr_lockstep_alignment() -> None:
             np.asarray(state["qpos"]), ref.physics.data.qpos, atol=2e-3
         )
         assert abs(float(out.reward) - float(ts.reward)) < 2e-3
+
+
+def test_finger_reward_and_obs_alignment() -> None:
+    """Injected-state reward + tip/target geometry vs dm_control."""
+    ref = dm_suite.load("finger", "turn_easy", task_kwargs={"random": 0})
+    ref.reset()
+    env = envpool_tpu.make_spec("FingerTurnEasy-v1", num_envs=1).env
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        qpos = ref.physics.data.qpos.copy() + rng.uniform(-0.5, 0.5, 3)
+        qvel = rng.uniform(-1, 1, 3)
+        with ref.physics.reset_context():
+            ref.physics.data.qpos[:] = qpos
+            ref.physics.data.qvel[:] = qvel
+        tgt = np.asarray(
+            ref.physics.target_position(), np.float32
+        )
+        extras = {"target": jnp.asarray(tgt)}
+        got = env.observe_dmc(
+            jnp.asarray(qpos, jnp.float32), jnp.asarray(qvel, jnp.float32),
+            extras,
+        )
+        want = ref.task.get_observation(ref.physics)
+        np.testing.assert_allclose(
+            np.asarray(got["position"]), want["position"], atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["dist_to_target"]),
+            want["dist_to_target"],
+            atol=2e-3,
+        )
+        r = env.reward_dmc(
+            jnp.asarray(qpos, jnp.float32),
+            jnp.asarray(qvel, jnp.float32),
+            jnp.zeros(2),
+            extras,
+        )
+        assert float(r) == float(ref.task.get_reward(ref.physics))
+
+
+def test_finger_spin_reward() -> None:
+    env = envpool_tpu.make_spec("FingerSpin-v1", num_envs=1).env
+    q = jnp.zeros(3)
+    fast = jnp.asarray([0.0, 0.0, -20.0])
+    slow = jnp.asarray([0.0, 0.0, -5.0])
+    assert float(env.reward_dmc(q, fast, jnp.zeros(2), {})) == 1.0
+    assert float(env.reward_dmc(q, slow, jnp.zeros(2), {})) == 0.0

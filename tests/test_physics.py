@@ -182,3 +182,67 @@ def test_scalar_backend_free_joint() -> None:
     pm = from_mj_model(m)
     assert pm.nq == 8 and pm.nv == 7
     _scalar_vs_einsum(pm, 1, 3)
+
+
+def test_pair_contacts_sphere_sphere() -> None:
+    """Two overlapping spheres on slide joints repel symmetrically."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002" gravity="0 0 0"/>
+      <worldbody>
+        <body name="a" pos="-0.05 0 1">
+          <joint type="slide" axis="1 0 0"/>
+          <geom type="sphere" size="0.1" mass="1"/>
+        </body>
+        <body name="b" pos="0.05 0 1">
+          <joint type="slide" axis="1 0 0"/>
+          <geom type="sphere" size="0.1" mass="1"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    from envpool_tpu.physics.dynamics import ContactParams, _step_impl
+
+    m = mujoco.MjModel.from_xml_string(xml)
+    pm = from_mj_model(m)
+    assert len(pm.pair_body) == 1
+    q = jnp.zeros(2)
+    qd = jnp.zeros(2)
+    cp = ContactParams(pairs=True)
+    q2, qd2 = _step_impl(pm, q, qd, jnp.zeros(0), 1, cp, 10)
+    # Penetrating spheres push apart with equal momentum.
+    assert float(qd2[0]) < -0.01
+    np.testing.assert_allclose(float(qd2[0]), -float(qd2[1]), rtol=1e-5)
+    # With pairs disabled nothing happens.
+    q3, qd3 = _step_impl(pm, q, qd, jnp.zeros(0), 1, ContactParams(), 10)
+    np.testing.assert_allclose(np.asarray(qd3), 0.0, atol=1e-7)
+
+
+def test_pair_contacts_scalar_matches_einsum() -> None:
+    """Scalar backend pair-contact path equals the einsum reference."""
+    import os
+    import gymnasium  # noqa: F401
+
+    import dm_control.suite as suite
+    from dm_control.suite import common
+    from envpool_tpu.physics.dynamics import ContactParams, _step_impl
+    from envpool_tpu.physics.scalar import step_batched
+    import jax
+
+    xml = open(
+        os.path.join(os.path.dirname(suite.__file__), "finger.xml")
+    ).read()
+    m = mujoco.MjModel.from_xml_string(xml, common.ASSETS)
+    pm = from_mj_model(m)
+    rng = np.random.default_rng(0)
+    n = 4
+    qpos = jnp.asarray(rng.uniform(-0.6, 0.6, (n, 3)), jnp.float32)
+    qvel = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+    ctrl = jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32)
+    cp = ContactParams(pairs=True)
+    ref = jax.vmap(lambda q, v, c: _step_impl(pm, q, v, c, 2, cp, 2))(
+        qpos, qvel, ctrl
+    )
+    sc = step_batched(pm, qpos, qvel, ctrl, 2, cp, 2)
+    np.testing.assert_allclose(sc[0], ref[0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(sc[1], ref[1], rtol=2e-3, atol=2e-3)
