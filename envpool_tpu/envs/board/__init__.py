@@ -1,5 +1,6 @@
 """Board-game env family (pgx-class)."""
 
+from .backgammon import BackgammonEnv
 from .game_2048 import Game2048Env
 from .go import GoEnv
 from .hex import HexEnv
@@ -9,6 +10,7 @@ from .poker import KuhnPokerEnv
 from .turn_games import Connect4Env, TicTacToeEnv
 
 __all__ = [
+    "BackgammonEnv",
     "Connect4Env",
     "GoEnv",
     "HexEnv",

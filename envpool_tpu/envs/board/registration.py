@@ -11,6 +11,11 @@ register(task_id="Othello-v1", import_path=_PATH, env_cls="OthelloEnv")
 register(task_id="KuhnPoker-v1", import_path=_PATH, env_cls="KuhnPokerEnv")
 register(task_id="LeducHoldem-v1", import_path=_PATH, env_cls="LeducHoldemEnv")
 register(task_id="Hex-v1", import_path=_PATH, env_cls="HexEnv")
+register(
+    task_id="Backgammon-v1",
+    import_path=_PATH,
+    env_cls="BackgammonEnv",
+)
 
 # Go family (reference ids: envpool/pgx/registration.py:32-74).
 for _size in (9, 13, 19):
