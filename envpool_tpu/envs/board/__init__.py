@@ -1,5 +1,6 @@
 """Board-game env family (pgx-class)."""
 
+from .animal_shogi import AnimalShogiEnv
 from .backgammon import BackgammonEnv
 from .game_2048 import Game2048Env
 from .go import GoEnv
@@ -10,6 +11,7 @@ from .poker import KuhnPokerEnv
 from .turn_games import Connect4Env, TicTacToeEnv
 
 __all__ = [
+    "AnimalShogiEnv",
     "BackgammonEnv",
     "Connect4Env",
     "GoEnv",

@@ -16,6 +16,11 @@ register(
     import_path=_PATH,
     env_cls="BackgammonEnv",
 )
+register(
+    task_id="AnimalShogi-v1",
+    import_path=_PATH,
+    env_cls="AnimalShogiEnv",
+)
 
 # Go family (reference ids: envpool/pgx/registration.py:32-74).
 for _size in (9, 13, 19):
