@@ -8,6 +8,7 @@ from .hex import HexEnv
 from .leduc import LeducHoldemEnv
 from .othello import OthelloEnv
 from .poker import KuhnPokerEnv
+from .sparrow_mahjong import SparrowMahjongEnv
 from .turn_games import Connect4Env, TicTacToeEnv
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "KuhnPokerEnv",
     "LeducHoldemEnv",
     "OthelloEnv",
+    "SparrowMahjongEnv",
     "TicTacToeEnv",
 ]

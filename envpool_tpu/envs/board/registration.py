@@ -21,6 +21,12 @@ register(
     import_path=_PATH,
     env_cls="AnimalShogiEnv",
 )
+register(
+    task_id="SparrowMahjong-v1",
+    import_path=_PATH,
+    env_cls="SparrowMahjongEnv",
+    max_num_players=3,
+)
 
 # Go family (reference ids: envpool/pgx/registration.py:32-74).
 for _size in (9, 13, 19):

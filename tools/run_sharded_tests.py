@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Run the test suite in N parallel pytest shards.
+
+The serial suite exceeds a 12-minute budget (jumanji/highway/minigrid are
+compile-heavy); sharding by test *file* keeps per-shard compile caches
+coherent while cutting wall-clock ~4-5x.  Files are assigned to shards by
+descending historical weight (greedy longest-processing-time).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import subprocess
+import sys
+import time
+
+# Rough relative costs (seconds, serial, from round-2/3 measurements).
+# Unlisted files get weight 20.
+WEIGHTS = {
+    "test_jumanji.py": 260,
+    "test_highway.py": 170,
+    "test_highway_net.py": 120,
+    "test_minigrid.py": 150,
+    "test_roomgrid.py": 90,
+    "test_dmc.py": 150,
+    "test_physics.py": 90,
+    "test_mujoco_gym.py": 80,
+    "test_board.py": 80,
+    "test_gym_oracle.py": 70,
+    "test_atari.py": 60,
+    "test_robotics.py": 120,
+    "test_box2d.py": 60,
+    "test_engine.py": 50,
+    "test_distributed.py": 50,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shards", type=int, default=5)
+    ap.add_argument("--tests-dir", default="tests")
+    args = ap.parse_args()
+
+    files = sorted(glob.glob(os.path.join(args.tests_dir, "test_*.py")))
+    if not files:
+        print("no test files found", file=sys.stderr)
+        return 2
+
+    # Greedy LPT bin packing.
+    files.sort(key=lambda f: -WEIGHTS.get(os.path.basename(f), 20))
+    bins: list[tuple[int, list[str]]] = [(0, []) for _ in range(args.shards)]
+    for f in files:
+        w = WEIGHTS.get(os.path.basename(f), 20)
+        i = min(range(len(bins)), key=lambda j: bins[j][0])
+        bins[i] = (bins[i][0] + w, bins[i][1] + [f])
+
+    procs = []
+    t0 = time.time()
+    for i, (_, shard) in enumerate(bins):
+        if not shard:
+            continue
+        cmd = [sys.executable, "-m", "pytest", "-q", *shard]
+        procs.append((i, shard, subprocess.Popen(cmd)))
+    rc = 0
+    for i, shard, p in procs:
+        r = p.wait()
+        status = "ok" if r in (0, 5) else f"FAILED rc={r}"
+        print(f"[shard {i}] {status}: {[os.path.basename(s) for s in shard]}")
+        if r not in (0, 5):  # 5 = no tests collected
+            rc = 1
+    print(f"total wall-clock: {time.time() - t0:.0f}s")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
