@@ -7,6 +7,7 @@ from .tasks import (
     HopperEnv,
     InvertedDoublePendulumEnv,
     InvertedPendulumEnv,
+    PusherEnv,
     ReacherEnv,
     SwimmerEnv,
     Walker2dEnv,
@@ -20,6 +21,7 @@ __all__ = [
     "HopperEnv",
     "InvertedDoublePendulumEnv",
     "InvertedPendulumEnv",
+    "PusherEnv",
     "ReacherEnv",
     "SwimmerEnv",
     "Walker2dEnv",

@@ -65,7 +65,8 @@ class MujocoGymEnv(TpuEnv):
             self.model = _dc.replace(
                 self.model, integrator={"euler": 0, "rk4": 1}[integ]
             )
-        self.frame_skip = int(config["frame_skip"])
+        fs = config["frame_skip"]
+        self.frame_skip = int(type(self).FRAME_SKIP if fs is None else fs)
         self.dt = self.model.timestep * self.frame_skip
         self.contact = ContactParams(
             kp=float(config["contact_kp"]), kd=float(config["contact_kd"])
@@ -93,6 +94,12 @@ class MujocoGymEnv(TpuEnv):
         base.update(cls.EXTRA_CONFIG)
         merged = dict(base)
         merged.update(cls.DEFAULT_CONFIG)
+        # FRAME_SKIP on the final class is authoritative: DEFAULT_CONFIG
+        # dicts copied from a parent class used to carry the parent's
+        # baked-in frame_skip (this silently ran Hopper/Walker2d at skip
+        # 5).  None = "resolve from cls.FRAME_SKIP at init".
+        if merged["frame_skip"] == cls.FRAME_SKIP:
+            merged["frame_skip"] = None
         cls.DEFAULT_CONFIG = merged
 
     # -- per-task hooks ----------------------------------------------------
@@ -143,8 +150,14 @@ class MujocoGymEnv(TpuEnv):
         }
 
     def action_spec(self):
+        # Bounds from the model's ctrlrange (gymnasium uses the same
+        # source for its Box action space); ±1 for unlimited actuators.
+        cr = np.asarray(self.model.act_ctrlrange, np.float64)
+        lim = np.asarray(self.model.act_ctrllimited, bool)
+        low = float(np.min(np.where(lim, cr[:, 0], -1.0))) if self.model.nu else -1.0
+        high = float(np.max(np.where(lim, cr[:, 1], 1.0))) if self.model.nu else 1.0
         return {
-            "action": ArraySpec(jnp.float32, (self.model.nu,), -1.0, 1.0)
+            "action": ArraySpec(jnp.float32, (self.model.nu,), low, high)
         }
 
     def _zero_info(self):

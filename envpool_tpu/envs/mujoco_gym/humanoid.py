@@ -72,13 +72,21 @@ class _HumanoidBase(MujocoGymEnv):
 
     def observe(self, qpos, qvel):
         cinert, cvel, cfrc = self._com_obs(qpos, qvel)
+        if bool(self.config.get("v5_obs", False)):
+            # v5 (gymnasium humanoid_v5._get_obs): drop the worldbody row
+            # of cinert/cvel/cfrc_ext and the 6 root dofs of
+            # qfrc_actuator → 348-dim obs (vs 376 in v4).
+            cinert, cvel, cfrc = cinert[1:], cvel[1:], cfrc[1:]
+            qfrc = self._qfrc_placeholder()[6:]
+        else:
+            qfrc = self._qfrc_placeholder()
         return jnp.concatenate(
             [
                 qpos[2:],
                 qvel,
                 cinert.reshape(-1),
                 cvel.reshape(-1),
-                self._qfrc_placeholder(),
+                qfrc,
                 cfrc.reshape(-1),
             ]
         ).astype(jnp.float32)
@@ -100,6 +108,12 @@ class HumanoidEnv(_HumanoidBase):
         "reset_noise_scale": 1e-2,
         "substeps": 2,
         "integrator": "euler",  # RK4 x frame_skip 5 x nv=23 is punitive
+        # v5 toggles (gymnasium humanoid_v5): 348-dim obs, healthy_reward
+        # only while healthy, contact cost included in the reward.
+        "v5_obs": False,
+        "legacy_healthy_reward": True,
+        "contact_cost_weight": 0.0,  # v5: 5e-7
+        "contact_cost_max": 10.0,
     }
 
     def reset_qpos_qvel(self, key):
@@ -112,15 +126,38 @@ class HumanoidEnv(_HumanoidBase):
         qvel = jax.random.uniform(k2, (self.model.nv,), jnp.float32, -s, s)
         return qpos, qvel
 
+    def _mass_center_x(self, qpos):
+        """gym's mass_center: mass-weighted mean of body xipos (x)."""
+        from ...physics.dynamics import body_com_positions
+
+        mass = jnp.asarray(self.model.body_mass, jnp.float32)
+        coms = body_com_positions(self.model, qpos)
+        return (mass @ coms[:, 0]) / mass.sum()
+
     def reward_done(self, before, after, action):
-        xv = (after["qpos"][0] - before["qpos"][0]) / self.dt
+        xv = (
+            self._mass_center_x(after["qpos"])
+            - self._mass_center_x(before["qpos"])
+        ) / self.dt
         z = after["qpos"][2]
         healthy = (z > 1.0) & (z < 2.0)
         ctrl_cost = float(self.config["ctrl_cost_weight"]) * jnp.sum(
             action * action
         )
         run = float(self.config["forward_reward_weight"]) * xv
-        reward = run + float(self.config["healthy_reward"]) - ctrl_cost
+        healthy_reward = float(self.config["healthy_reward"])
+        if not bool(self.config["legacy_healthy_reward"]):
+            # v5: the alive bonus is paid only while actually healthy.
+            healthy_reward = healthy_reward * healthy.astype(jnp.float32)
+        contact_cost = jnp.float32(0.0)
+        ccw = float(self.config["contact_cost_weight"])
+        if ccw > 0.0:
+            _, _, cfrc = self._com_obs(after["qpos"], after["qvel"])
+            contact_cost = jnp.minimum(
+                ccw * jnp.sum(cfrc * cfrc),
+                float(self.config["contact_cost_max"]),
+            )
+        reward = run + healthy_reward - ctrl_cost - contact_cost
         terminated = (
             ~healthy
             if bool(self.config["terminate_when_unhealthy"])
@@ -146,6 +183,7 @@ class HumanoidStandupEnv(_HumanoidBase):
         "reset_noise_scale": 1e-2,
         "substeps": 2,
         "integrator": "euler",
+        "v5_obs": False,
     }
 
     def reset_qpos_qvel(self, key):

@@ -17,11 +17,12 @@ _TASKS = [
     ("Ant", "AntEnv", ("v3", "v4", "v5"), 1000),
     ("HalfCheetah", "HalfCheetahEnv", ("v3", "v4", "v5"), 1000),
     ("Hopper", "HopperEnv", ("v3", "v4", "v5"), 1000),
-    ("Humanoid", "HumanoidEnv", ("v3", "v4"), 1000),
-    ("HumanoidStandup", "HumanoidStandupEnv", ("v2", "v4"), 1000),
+    ("Humanoid", "HumanoidEnv", ("v3", "v4", "v5"), 1000),
+    ("HumanoidStandup", "HumanoidStandupEnv", ("v2", "v4", "v5"), 1000),
     ("InvertedDoublePendulum", "InvertedDoublePendulumEnv",
      ("v2", "v4", "v5"), 1000),
     ("InvertedPendulum", "InvertedPendulumEnv", ("v2", "v4", "v5"), 1000),
+    ("Pusher", "PusherEnv", ("v2", "v4", "v5"), 100),
     ("Reacher", "ReacherEnv", ("v2", "v4", "v5"), 50),
     ("Swimmer", "SwimmerEnv", ("v3", "v4", "v5"), 1000),
     ("Walker2d", "Walker2dEnv", ("v3", "v4", "v5"), 1000),
@@ -33,10 +34,20 @@ for task, cls, versions, max_episode_steps in _TASKS:
         if version == "v5":
             if task in ("InvertedPendulum", "InvertedDoublePendulum"):
                 extra["reward_if_not_terminated"] = True
-            if task == "Reacher":
+            if task in ("Reacher", "Pusher"):
                 extra["reward_after_step"] = True
+            if task == "Reacher":
+                extra["v5_obs"] = True
             if task in ("Hopper", "Walker2d", "Ant"):
                 extra["legacy_healthy_reward"] = False
+            if task == "Pusher":
+                extra["xml_file"] = "pusher_v5.xml"
+            if task == "Humanoid":
+                extra["legacy_healthy_reward"] = False
+                extra["contact_cost_weight"] = 5e-7
+                extra["v5_obs"] = True
+            if task == "HumanoidStandup":
+                extra["v5_obs"] = True
         register(
             task_id=f"{task}-{version}",
             import_path=_PATH,

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ...physics.dynamics import body_com_positions, site_positions
+from ...physics.dynamics import body_positions, site_positions
 from .base import MujocoGymEnv
 
 
@@ -236,8 +236,10 @@ class ReacherEnv(MujocoGymEnv):
     DEFAULT_CONFIG = {
         "reward_threshold": -3.75,
         "reset_noise_scale": 0.1,
-        # v5: distance measured after the step (registration.py:69-72).
+        # v5: distance measured after the step (registration.py:69-72)
+        # and the constant z of the fingertip-target vec dropped (10-dim).
         "reward_after_step": False,
+        "v5_obs": False,
     }
 
     def __init__(self, config):
@@ -268,11 +270,15 @@ class ReacherEnv(MujocoGymEnv):
         return qpos, qvel
 
     def _vec(self, qpos):
-        coms = body_com_positions(self.model, qpos)
-        return coms[self._fingertip] - coms[self._target]
+        # gym's get_body_com is data.body(name).xpos — the body frame
+        # origin, not the inertial com (they coincide for fingertip).
+        ps = body_positions(self.model, qpos)
+        return ps[self._fingertip] - ps[self._target]
 
     def observe(self, qpos, qvel):
         vec = self._vec(qpos)
+        if bool(self.config["v5_obs"]):
+            vec = vec[:2]
         return jnp.concatenate(
             [
                 jnp.cos(qpos[:2]),
@@ -380,3 +386,101 @@ class InvertedDoublePendulumEnv(MujocoGymEnv):
         if bool(self.config["reward_if_not_terminated"]):
             reward = jnp.where(terminated, 0.0, reward)
         return reward, terminated, {}
+
+
+class PusherEnv(MujocoGymEnv):
+    """Pusher (7-dof arm pushes a cylinder to a goal).
+
+    Behavioral reference: ``envpool/mujoco/gym/pusher.h`` / gymnasium
+    pusher_v4/v5: obs = [qpos[:7], qvel[:7], com(tips_arm), com(object),
+    com(goal)] (23,); reward = -|obj-goal| - 0.1*|a|^2 - 0.5*|obj-tip|,
+    measured before the step in v4 and after in v5
+    (``reward_after_step``).  Reset rejection-samples the cylinder
+    until it is >0.17 from the goal at the origin.
+    """
+
+    XML = "pusher.xml"
+    FRAME_SKIP = 5
+    DEFAULT_CONFIG = {
+        "reward_threshold": 0.0,
+        # v5 measures distances after stepping and uses pusher_v5.xml.
+        "reward_after_step": False,
+        "reward_near_weight": 0.5,
+        "reward_dist_weight": 1.0,
+        "reward_control_weight": 0.1,
+    }
+
+    def __init__(self, config):
+        super().__init__(config)
+        names = self.model.body_names
+        self._tips = names.index("tips_arm")
+        self._object = names.index("object")
+        self._goal = names.index("goal")
+
+    def reset_qpos_qvel(self, key):
+        qpos0 = jnp.asarray(self.model.qpos0, jnp.float32)
+        k_cyl, k_vel = jax.random.split(key)
+
+        # Rejection sampling: x~U(-0.3,0), y~U(-0.2,0.2), |pos|>0.17.
+        def cond(carry):
+            _, pos = carry
+            return jnp.linalg.norm(pos) <= 0.17
+
+        def body(carry):
+            k, _ = carry
+            k = jax.random.fold_in(k, 1)
+            kx, ky = jax.random.split(k)
+            pos = jnp.stack([
+                jax.random.uniform(kx, (), jnp.float32, -0.3, 0.0),
+                jax.random.uniform(ky, (), jnp.float32, -0.2, 0.2),
+            ])
+            return k, pos
+
+        init = body((k_cyl, jnp.zeros(2, jnp.float32)))
+        _, cyl = jax.lax.while_loop(cond, body, init)
+        qpos = qpos0.at[-4:-2].set(cyl).at[-2:].set(0.0)
+        qvel = jax.random.uniform(
+            k_vel, (self.model.nv,), jnp.float32, -0.005, 0.005
+        )
+        qvel = qvel.at[-4:].set(0.0)
+        return qpos, qvel
+
+    def _coms(self, qpos):
+        # gym's get_body_com is data.body(name).xpos (frame origin).
+        ps = body_positions(self.model, qpos)
+        return ps[self._tips], ps[self._object], ps[self._goal]
+
+    def observe(self, qpos, qvel):
+        tips, obj, goal = self._coms(qpos)
+        return jnp.concatenate(
+            [qpos[:7], qvel[:7], tips, obj, goal]
+        ).astype(jnp.float32)
+
+    def extra_info_spec(self):
+        from ...core.specs import ArraySpec
+
+        return {
+            "info:reward_dist": ArraySpec(jnp.float32, ()),
+            "info:reward_ctrl": ArraySpec(jnp.float32, ()),
+            "info:reward_near": ArraySpec(jnp.float32, ()),
+        }
+
+    def reward_done(self, before, after, action):
+        which = (
+            after if bool(self.config["reward_after_step"]) else before
+        )
+        tips, obj, goal = self._coms(which["qpos"])
+        near = -jnp.linalg.norm(obj - tips) * float(
+            self.config["reward_near_weight"]
+        )
+        dist = -jnp.linalg.norm(obj - goal) * float(
+            self.config["reward_dist_weight"]
+        )
+        ctrl = -jnp.sum(action * action) * float(
+            self.config["reward_control_weight"]
+        )
+        return (
+            dist + ctrl + near,
+            jnp.bool_(False),
+            {"reward_dist": dist, "reward_ctrl": ctrl, "reward_near": near},
+        )

@@ -81,10 +81,13 @@ def fk(model: PhysModel, q: jax.Array):
     Joints of a body apply in model order within the body frame, mirroring
     MuJoCo ``mj_kinematics``: a hinge rotates the current frame about the
     axis through its anchor; a slide translates along its axis; a free
-    joint *sets* the frame from qpos.
+    joint *sets* the frame from qpos.  Hinge/slide transforms are relative
+    to the joint's reference value ``qpos0[adr]`` (MJCF ``ref`` attribute;
+    engine_core_smooth.c uses ``qpos[qadr] - m->qpos0[qadr]``).
     """
     dtype = q.dtype
     joints = _joints_of_body(model)
+    q0 = model.qpos0
     Rs = [jnp.eye(3, dtype=dtype)]
     ps = [jnp.zeros(3, dtype=dtype)]
     for b in range(1, model.nbody):
@@ -99,11 +102,11 @@ def fk(model: PhysModel, q: jax.Array):
                 R = quat2mat(q[adr + 3 : adr + 7])
             elif jtype == SLIDE:
                 axis_w = R @ jnp.asarray(model.jnt_axis[j], dtype)
-                p = p + axis_w * q[adr]
+                p = p + axis_w * (q[adr] - float(q0[adr]))
             elif jtype == HINGE:
                 axis_w = R @ jnp.asarray(model.jnt_axis[j], dtype)
                 anchor_w = p + R @ jnp.asarray(model.jnt_pos[j], dtype)
-                rot = _axis_angle(axis_w, q[adr])
+                rot = _axis_angle(axis_w, q[adr] - float(q0[adr]))
                 R = rot @ R
                 p = anchor_w + rot @ (p - anchor_w)
             else:
@@ -151,13 +154,13 @@ def fk_dof(model: PhysModel, q: jax.Array):
             elif jtype == SLIDE:
                 axis_w = R @ jnp.asarray(model.jnt_axis[j], dtype)
                 t[d] = axis_w
-                p = p + axis_w * q[adr]
+                p = p + axis_w * (q[adr] - float(model.qpos0[adr]))
             elif jtype == HINGE:
                 axis_w = R @ jnp.asarray(model.jnt_axis[j], dtype)
                 anchor_w = p + R @ jnp.asarray(model.jnt_pos[j], dtype)
                 w[d] = axis_w
                 c[d] = anchor_w
-                rot = _axis_angle(axis_w, q[adr])
+                rot = _axis_angle(axis_w, q[adr] - float(model.qpos0[adr]))
                 R = rot @ R
                 p = anchor_w + rot @ (p - anchor_w)
             else:

@@ -224,7 +224,8 @@ def _fk_scalar(model: PhysModel, q):
                 axis = tuple(float(v) for v in model.jnt_axis[j])
                 axis_w = _mv(R, axis)
                 t[d] = axis_w
-                p = _vadd(p, _vscale(q[adr], axis_w))
+                # Relative to the joint ref (qpos0), as in mj_kinematics.
+                p = _vadd(p, _vscale(q[adr] - float(model.qpos0[adr]), axis_w))
             elif jtype == HINGE:
                 axis = tuple(float(v) for v in model.jnt_axis[j])
                 anchor = tuple(float(v) for v in model.jnt_pos[j])
@@ -232,7 +233,7 @@ def _fk_scalar(model: PhysModel, q):
                 anchor_w = _vadd(p, _mv(R, anchor))
                 w[d] = axis_w
                 c[d] = anchor_w
-                rot = _axis_angle_rot(axis_w, q[adr])
+                rot = _axis_angle_rot(axis_w, q[adr] - float(model.qpos0[adr]))
                 R = _mm(rot, R)
                 p = _vadd(anchor_w, _mv(rot, _vsub(p, anchor_w)))
             else:  # pragma: no cover - guarded at model load
