@@ -376,11 +376,14 @@ def _limit_violation(model: PhysModel, q):
     return v.at[jnp.asarray(s.hs_dadr)].set(out.astype(q.dtype))
 
 
-def _actuator_forces(model: PhysModel, ctrl):
-    """Actuators: τ[dof] += coef · clip(ctrl) over the moment rows.
+def _actuator_forces(model: PhysModel, ctrl, q=None, qd=None):
+    """Actuators: τ[dof] += moment · force over the transmission rows.
 
-    Joint motors contribute gear·gain at one dof; fixed-tendon actuators
-    (e.g. fish tail) distribute through the tendon's joint coefs.
+    Constant-gain motors: force = gain·clip(ctrl) folded into the moment
+    coefs.  Affine-bias servos (mjBIAS_AFFINE, e.g. dm_control quadruped
+    position actuators): force = gain·ctrl + b1·length + b2·velocity with
+    the transmission length/velocity computed from the same rows — this
+    position feedback runs every substep, as in MuJoCo.
     """
     tau = jnp.zeros(model.nv, ctrl.dtype)
     if model.nu == 0:
@@ -394,6 +397,15 @@ def _actuator_forces(model: PhysModel, ctrl):
     for a, row in enumerate(s.act_moments):
         for dadr, coef in row:
             tau = tau.at[dadr].add(coef * c[a])
+    for a, gain, b1, b2, rows in getattr(s, "act_affine", ()):
+        length = 0.0
+        vel = 0.0
+        for qadr, dadr, coef in rows:
+            length = length + coef * q[qadr]
+            vel = vel + coef * qd[dadr]
+        f = gain * c[a] + b1 * length + b2 * vel
+        for _, dadr, coef in rows:
+            tau = tau.at[dadr].add(coef * f)
     return tau
 
 
@@ -428,7 +440,7 @@ def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
     else:
         v_con = jnp.zeros((0, 3), dtype)
     tau = (
-        _actuator_forces(model, ctrl)
+        _actuator_forces(model, ctrl, q, qd)
         + _passive_forces(model, q, qd)
         + _contact_forces_shared(model, contact, k.centers, v_con, Jc, dtype)
         - c

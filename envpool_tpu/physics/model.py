@@ -87,6 +87,15 @@ class PhysModel:
     # (0 = joint, 3 = tendon; mjtTrn).
     act_gain: np.ndarray = None       # [nu]
     act_trntype: np.ndarray = None    # [nu]
+    # Affine bias (mjBIAS_AFFINE, position servos):
+    # force = gain·ctrl + biasprm[1]·length + biasprm[2]·velocity.
+    act_biastype: np.ndarray = None   # [nu] (0 none, 1 affine)
+    act_biasprm: np.ndarray = None    # [nu, 3]
+    # First-order activation filter (mjDYN_FILTER/FILTEREXACT/MUSCLE):
+    # act' = (ctrl - act)/tau.  Integrated analytically per control step
+    # at the env layer (documented approximation).
+    act_dyntype: np.ndarray = None    # [nu] (0 none, 2/3 filter, 4 muscle)
+    act_dynprm: np.ndarray = None     # [nu] tau
 
     # Fixed tendons: length = Σ coef_j · qpos[j] over hinge/slide joints.
     # Per tendon: tuple of (qposadr, dofadr, coef) triples, plus passive
@@ -251,6 +260,18 @@ def from_mj_model(m) -> PhysModel:
     act_trntype = (
         m.actuator_trntype.copy() if m.nu else np.zeros(0, np.int32)
     )
+    act_biastype = (
+        m.actuator_biastype.copy() if m.nu else np.zeros(0, np.int32)
+    )
+    act_biasprm = (
+        m.actuator_biasprm[:, :3].copy() if m.nu else np.zeros((0, 3))
+    )
+    act_dyntype = (
+        m.actuator_dyntype.copy() if m.nu else np.zeros(0, np.int32)
+    )
+    act_dynprm = (
+        m.actuator_dynprm[:, 0].copy() if m.nu else np.zeros(0)
+    )
 
     # Tendons.  Fixed tendons (mjWRAP_JOINT wraps) become joint-coef
     # lists; spatial ones (mjWRAP_SITE) become site pairs.
@@ -336,6 +357,10 @@ def from_mj_model(m) -> PhysModel:
         integrator=int(m.opt.integrator),
         act_gain=act_gain,
         act_trntype=act_trntype,
+        act_biastype=act_biastype,
+        act_biasprm=act_biasprm,
+        act_dyntype=act_dyntype,
+        act_dynprm=act_dynprm,
         ten_fixed=tuple(ten_fixed),
         ten_fixed_stiffness=np.asarray(tf_k),
         ten_fixed_damping=np.asarray(tf_d),

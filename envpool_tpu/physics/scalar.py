@@ -477,6 +477,22 @@ def _smooth_scalar(model: PhysModel, q, qd, ctrl, contact):
             u = jnp.minimum(u, hi)
         for dadr, coef in st.act_moments[a]:
             tau_act[dadr] = _add(tau_act[dadr], _mul(coef, u))
+    # Affine-bias servos: force = gain·ctrl + b1·len + b2·vel.
+    for a, gain, b1, b2, rows in getattr(st, "act_affine", ()):
+        lo, hi = float(st.act_lo[a]), float(st.act_hi[a])
+        u = ctrl[a]
+        if np.isfinite(lo):
+            u = jnp.maximum(u, lo)
+        if np.isfinite(hi):
+            u = jnp.minimum(u, hi)
+        length = 0.0
+        vel = 0.0
+        for qadr, dadr, coef in rows:
+            length = _add(length, _mul(coef, q[qadr]))
+            vel = _add(vel, _mul(coef, qd[dadr]))
+        f = _add(_mul(gain, u), _add(_mul(b1, length), _mul(b2, vel)))
+        for _qadr, dadr, coef in rows:
+            tau_act[dadr] = _add(tau_act[dadr], _mul(coef, f))
 
     # Fixed-tendon springs/dampers.
     for ti, triples in enumerate(model.ten_fixed):

@@ -161,21 +161,56 @@ class DofStructure:
             if model.act_trntype is not None
             else np.zeros(nu, np.int32)
         )
+        biastype = (
+            model.act_biastype
+            if model.act_biastype is not None
+            else np.zeros(nu, np.int32)
+        )
+        biasprm = (
+            model.act_biasprm
+            if model.act_biasprm is not None
+            else np.zeros((nu, 3))
+        )
         moments = []
+        affine = []  # biastype-1 servos: (gain, b1, b2, ((qadr,dadr,coef),…))
         for a in range(nu):
-            gg = float(model.act_gear[a]) * float(gains[a])
+            gear = float(model.act_gear[a])
+            gg = gear * float(gains[a])
             if int(trntype[a]) == 3:  # tendon
                 ten = model.ten_fixed[int(model.act_trnid[a])]
-                moments.append(
-                    tuple((dadr, coef * gg) for _, dadr, coef in ten)
+                rows = tuple(
+                    (qadr, dadr, coef * gear) for qadr, dadr, coef in ten
                 )
             else:  # joint
                 j = int(model.act_trnid[a])
-                moments.append(((int(model.jnt_dofadr[j]), gg),))
+                rows = (
+                    (int(model.jnt_qposadr[j]), int(model.jnt_dofadr[j]), gear),
+                )
+            if int(biastype[a]) == 1:
+                # Affine servo: force = gain·ctrl + b1·len + b2·vel with
+                # len/vel through the gear-scaled transmission rows; skip
+                # the legacy constant-gain path for this actuator.
+                moments.append(())
+                affine.append(
+                    (
+                        a,
+                        float(gains[a]),
+                        float(biasprm[a][1]),
+                        float(biasprm[a][2]),
+                        rows,
+                    )
+                )
+            else:
+                moments.append(
+                    tuple((dadr, coef * float(gains[a])) for _, dadr, coef in rows)
+                )
         self.act_moments = tuple(moments)
-        # Legacy single-dof view (used by the einsum path's scatter-add).
+        self.act_affine = tuple(affine)
+        # Legacy single-dof view (used by the einsum path's scatter-add);
+        # affine actuators have empty moment rows — fall back to dof 0
+        # (their force flows through act_affine instead).
         self.act_dadr = np.asarray(
-            [mo[0][0] for mo in moments], np.int32
+            [mo[0][0] if mo else 0 for mo in moments], np.int32
         ) if nu else np.zeros(0, np.int32)
         self.act_gear = np.asarray(
             [float(model.act_gear[a]) for a in range(nu)], np.float32
