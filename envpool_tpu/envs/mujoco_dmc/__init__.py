@@ -8,6 +8,7 @@ from .tasks2 import (
     HumanoidCMUEnv,
     LqrEnv,
 )
+from .tasks3 import DogEnv, ManipulatorEnv, QuadrupedEnv, StackerEnv
 from .tasks import (
     CartpoleEnv,
     DmcAcrobotEnv,
@@ -22,6 +23,10 @@ from .tasks import (
 
 __all__ = [
     "FingerEnv",
+    "DogEnv",
+    "ManipulatorEnv",
+    "QuadrupedEnv",
+    "StackerEnv",
     "BallInCupEnv",
     "DmcHumanoidEnv",
     "FishEnv",

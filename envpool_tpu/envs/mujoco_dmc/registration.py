@@ -1,9 +1,7 @@
 """dm_control suite registration (``envpool/mujoco/dmc/registration.py``).
 
-Task ids follow the reference's ``{Domain}{Task}-v1`` scheme.  Scope this
-round: 14 of the reference's 51 suite tasks (the benchmarking core); the
-remaining domains (quadruped, humanoid, fish, swimmer, manipulation) need
-3D/tendon features queued for the next round.
+Task ids follow the reference's ``{Domain}{Task}-v1`` scheme — all 51
+suite ids (``/root/reference/envpool/make_test.py:367-420``).
 """
 
 from ...core.registry import register
@@ -99,6 +97,62 @@ for task_id, task_name in (
         task_id=task_id,
         import_path=_PATH,
         env_cls="FingerEnv",
+        task_name=task_name,
+        max_episode_steps=1000,
+    )
+
+# Wave 3: quadruped (walk/run/escape/fetch).
+for task_id, task_name in (
+    ("QuadrupedWalk-v1", "walk"),
+    ("QuadrupedRun-v1", "run"),
+    ("QuadrupedEscape-v1", "escape"),
+    ("QuadrupedFetch-v1", "fetch"),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="QuadrupedEnv",
+        task_name=task_name,
+        max_episode_steps=1000,
+    )
+
+for task_id, task_name in (
+    ("ManipulatorBringBall-v1", "bring_ball"),
+    ("ManipulatorBringPeg-v1", "bring_peg"),
+    ("ManipulatorInsertBall-v1", "insert_ball"),
+    ("ManipulatorInsertPeg-v1", "insert_peg"),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="ManipulatorEnv",
+        task_name=task_name,
+        max_episode_steps=1000,
+    )
+
+for task_id, task_name in (
+    ("StackerStack2-v1", "stack_2"),
+    ("StackerStack4-v1", "stack_4"),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="StackerEnv",
+        task_name=task_name,
+        max_episode_steps=1000,
+    )
+
+for task_id, task_name in (
+    ("DogStand-v1", "stand"),
+    ("DogWalk-v1", "walk"),
+    ("DogTrot-v1", "trot"),
+    ("DogRun-v1", "run"),
+    ("DogFetch-v1", "fetch"),
+):
+    register(
+        task_id=task_id,
+        import_path=_PATH,
+        env_cls="DogEnv",
         task_name=task_name,
         max_episode_steps=1000,
     )

@@ -192,7 +192,21 @@ def from_mj_model(m) -> PhysModel:
                 con_pos.append(pos + sgn * half * zdir)
                 con_radius.append(float(size[0]))
                 con_fric.append(fric)
-        # Boxes/planes/other types: skipped (not needed for the suite).
+        elif gtype == int(mujoco.mjtGeom.mjGEOM_BOX):
+            # Corner point contacts (radius 0): the standard
+            # corner-sphere approximation of box-plane contact (so
+            # stacker/manipulator boxes rest stably on the floor).
+            for sx in (-1.0, 1.0):
+                for sy in (-1.0, 1.0):
+                    for sz in (-1.0, 1.0):
+                        corner = np.array(
+                            [sx * size[0], sy * size[1], sz * size[2]]
+                        )
+                        con_body.append(b)
+                        con_pos.append(pos + _quat_rotate_np(quat, corner))
+                        con_radius.append(0.0)
+                        con_fric.append(fric)
+        # Ellipsoids/planes/other types: skipped (not needed for the suite).
 
     # Body-body contact pairs (sphere/capsule only), following MuJoCo's
     # default broadphase filter: contype/conaffinity compatibility,
