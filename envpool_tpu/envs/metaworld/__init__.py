@@ -1,0 +1,12 @@
+"""MetaWorld v3 Sawyer env family (50 tasks).
+
+Reference surface: ``envpool/mujoco/metaworld/`` — obs (39,), action
+(4,) = xyz mocap delta (0.01 m/step, clamped to the hand box) + gripper
+effort, info keys success/near_object/grasp_success/grasp_reward/
+in_place_reward/obj_to_target/unscaled_reward
+(``metaworld_env.h:49-88``).
+"""
+
+from .sawyer import SawyerEnv
+
+__all__ = ["SawyerEnv"]

@@ -1,0 +1,136 @@
+"""MetaWorld family tests (50 ids, reference surface parity + behavior).
+
+The pip ``metaworld`` oracle is not installable in this image; the tests
+pin the reference's spec surface (obs 39 / action 4 / info keys,
+``metaworld_env.h:56-88``) and the surrogate interaction semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import envpool_tpu
+from envpool_tpu.core.registry import registry
+
+
+def test_50_ids_registered():
+    ids = [i for i in envpool_tpu.list_all_envs() if i.startswith("MetaWorld/")]
+    assert len(ids) == 50
+    for t in (
+        "MetaWorld/Assembly-v3",
+        "MetaWorld/ButtonPressTopdownWall-v3",
+        "MetaWorld/PlateSlideBackSide-v3",
+        "MetaWorld/PegInsertSide-v3",
+        "MetaWorld/WindowClose-v3",
+    ):
+        assert t in ids, t
+
+
+def test_spec_surface():
+    spec = envpool_tpu.make_spec("MetaWorld/PickPlace-v3", num_envs=1)
+    sas = spec.state_array_spec
+    assert sas["obs"].shape == (39,)
+    for k in (
+        "success", "near_object", "grasp_success", "grasp_reward",
+        "in_place_reward", "obj_to_target", "unscaled_reward",
+    ):
+        assert k in sas or f"info:{k}" in sas or any(
+            k in kk for kk in sas
+        ), k
+    assert spec.action_array_spec["action"].shape == (4,)
+
+
+def test_action_semantics_step_and_clamp():
+    env = registry._env("MetaWorld/Reach-v3", num_envs=1)
+    key = jax.random.PRNGKey(0)
+    st, _ = env.reset_env(key)
+    tcp0 = np.asarray(st["tcp"])
+    out = env.step_env(st, jnp.asarray([1.0, 0, 0, 0]), key)
+    tcp1 = np.asarray(out.state["tcp"])
+    np.testing.assert_allclose(tcp1 - tcp0, [0.01, 0, 0], atol=1e-6)
+    # Hand box clamp.
+    st2 = dict(st)
+    for _ in range(3):
+        out = env.step_env(st2, jnp.asarray([0, 0, 1.0, 0]), key)
+        st2 = dict(out.state)
+    for _ in range(80):
+        out = env.step_env(st2, jnp.asarray([0, 0, 1.0, 0]), key)
+        st2 = dict(out.state)
+    assert float(st2["tcp"][2]) <= 0.7 + 1e-6
+
+
+def test_obs_layout_prev_frame():
+    env = registry._env("MetaWorld/Push-v3", num_envs=1)
+    key = jax.random.PRNGKey(1)
+    st, obs = env.reset_env(key)
+    o0 = np.asarray(obs["obs"])
+    out = env.step_env(st, jnp.asarray([0.5, 0.5, 0, 0]), key)
+    o1 = np.asarray(out.obs["obs"])
+    # prev block (18:36) of the new obs equals the curr block (0:18) of
+    # the previous obs.
+    np.testing.assert_allclose(o1[18:36], o0[:18], atol=1e-6)
+    # Hidden goal (partially observable default).
+    np.testing.assert_allclose(o1[36:], 0.0)
+    full = registry._env(
+        "MetaWorld/Push-v3", num_envs=1, partially_observable=False
+    )
+    st2, obs2 = full.reset_env(key)
+    assert np.abs(np.asarray(obs2["obs"])[36:]).sum() > 0
+
+
+def test_pick_place_grasp_and_success():
+    env = registry._env("MetaWorld/PickPlace-v3", num_envs=1)
+    key = jax.random.PRNGKey(2)
+    st, _ = env.reset_env(key)
+    # Drive tcp to the object, close, carry to goal.
+    for t in range(300):
+        rel = np.asarray(st["obj_pos"] - st["tcp"])
+        if not bool(st["grasped"]):
+            a = np.concatenate([np.clip(rel / 0.01, -1, 1), [1.0]])
+        else:
+            relg = np.asarray(st["goal"] - st["tcp"])
+            a = np.concatenate([np.clip(relg / 0.01, -1, 1), [1.0]])
+        out = env.step_env(
+            st, jnp.asarray(a, jnp.float32), jax.random.fold_in(key, t)
+        )
+        st = out.state
+        if float(out.obs["info:success"]) == 1.0:
+            break
+    assert float(out.obs["info:success"]) == 1.0, (
+        np.asarray(st["obj_pos"]), np.asarray(st["goal"])
+    )
+    assert float(out.reward) == 10.0
+
+
+def test_drawer_articulation():
+    env = registry._env("MetaWorld/DrawerOpen-v3", num_envs=1)
+    key = jax.random.PRNGKey(3)
+    st, _ = env.reset_env(key)
+    # Reach the handle then pull along -y.
+    for t in range(400):
+        rel = np.asarray(st["obj_pos"] - st["tcp"])
+        if np.linalg.norm(rel) > 0.02:
+            a = np.concatenate([np.clip(rel / 0.01, -1, 1), [0.0]])
+        else:
+            a = np.asarray([0.0, -1.0, 0.0, 0.0])
+        out = env.step_env(
+            st, jnp.asarray(a, jnp.float32), jax.random.fold_in(key, t)
+        )
+        st = out.state
+        if float(out.obs["info:success"]) == 1.0:
+            break
+    assert float(out.obs["info:success"]) == 1.0
+
+
+def test_reward_bounded_and_success_10():
+    rng = np.random.default_rng(0)
+    for tid in ("MetaWorld/Hammer-v3", "MetaWorld/SweepInto-v3",
+                "MetaWorld/DoorOpen-v3"):
+        env = envpool_tpu.make(tid, env_type="gymnasium", num_envs=2, seed=0)
+        env.reset()
+        for t in range(20):
+            obs, rew, term, trunc, info = env.step(
+                rng.uniform(-1, 1, (2, 4)).astype(np.float32)
+            )
+            assert (rew <= 10.0 + 1e-5).all() and (rew >= 0.0).all()
+            assert not term.any()  # metaworld never terminates
