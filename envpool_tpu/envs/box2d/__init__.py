@@ -1,5 +1,6 @@
 """Box2D-class env family (planar rigid-body reimplementations)."""
 
+from .bipedal_walker import BipedalWalkerEnv
 from .lunar_lander import LunarLanderEnv
 
-__all__ = ["LunarLanderEnv"]
+__all__ = ["BipedalWalkerEnv", "LunarLanderEnv"]

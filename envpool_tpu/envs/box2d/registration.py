@@ -1,8 +1,4 @@
-"""Box2D registration (``envpool/box2d/registration.py`` subset).
-
-BipedalWalker and CarRacing require articulated/wheel physics queued for
-the next round.
-"""
+"""Box2D registration (``envpool/box2d/registration.py``)."""
 
 from ...core.registry import register
 
@@ -25,3 +21,20 @@ for version in ("v2", "v3"):
         max_episode_steps=1000,
         reward_threshold=200.0,
     )
+
+register(
+    task_id="BipedalWalker-v3",
+    import_path=_PATH,
+    env_cls="BipedalWalkerEnv",
+    hardcore=False,
+    max_episode_steps=1600,
+    reward_threshold=300.0,
+)
+register(
+    task_id="BipedalWalkerHardcore-v3",
+    import_path=_PATH,
+    env_cls="BipedalWalkerEnv",
+    hardcore=True,
+    max_episode_steps=2000,
+    reward_threshold=300.0,
+)
