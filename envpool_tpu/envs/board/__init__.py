@@ -2,6 +2,7 @@
 
 from .animal_shogi import AnimalShogiEnv
 from .backgammon import BackgammonEnv
+from .chess import ChessEnv
 from .game_2048 import Game2048Env
 from .go import GoEnv
 from .hex import HexEnv
@@ -14,6 +15,7 @@ from .turn_games import Connect4Env, TicTacToeEnv
 __all__ = [
     "AnimalShogiEnv",
     "BackgammonEnv",
+    "ChessEnv",
     "Connect4Env",
     "GoEnv",
     "HexEnv",

@@ -22,6 +22,11 @@ register(
     env_cls="AnimalShogiEnv",
 )
 register(
+    task_id="Chess-v1",
+    import_path=_PATH,
+    env_cls="ChessEnv",
+)
+register(
     task_id="SparrowMahjong-v1",
     import_path=_PATH,
     env_cls="SparrowMahjongEnv",
