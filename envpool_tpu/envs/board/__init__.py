@@ -4,6 +4,7 @@ from .animal_shogi import AnimalShogiEnv
 from .backgammon import BackgammonEnv
 from .chess import ChessEnv
 from .game_2048 import Game2048Env
+from .gardner_chess import GardnerChessEnv
 from .go import GoEnv
 from .hex import HexEnv
 from .leduc import LeducHoldemEnv
@@ -20,6 +21,7 @@ __all__ = [
     "GoEnv",
     "HexEnv",
     "Game2048Env",
+    "GardnerChessEnv",
     "KuhnPokerEnv",
     "LeducHoldemEnv",
     "OthelloEnv",

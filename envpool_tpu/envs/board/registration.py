@@ -27,6 +27,11 @@ register(
     env_cls="ChessEnv",
 )
 register(
+    task_id="GardnerChess-v1",
+    import_path=_PATH,
+    env_cls="GardnerChessEnv",
+)
+register(
     task_id="SparrowMahjong-v1",
     import_path=_PATH,
     env_cls="SparrowMahjongEnv",
