@@ -10,6 +10,7 @@ from .hex import HexEnv
 from .leduc import LeducHoldemEnv
 from .othello import OthelloEnv
 from .poker import KuhnPokerEnv
+from .shogi import ShogiEnv
 from .sparrow_mahjong import SparrowMahjongEnv
 from .turn_games import Connect4Env, TicTacToeEnv
 
@@ -25,6 +26,7 @@ __all__ = [
     "KuhnPokerEnv",
     "LeducHoldemEnv",
     "OthelloEnv",
+    "ShogiEnv",
     "SparrowMahjongEnv",
     "TicTacToeEnv",
 ]

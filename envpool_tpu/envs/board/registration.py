@@ -32,6 +32,11 @@ register(
     env_cls="GardnerChessEnv",
 )
 register(
+    task_id="Shogi-v1",
+    import_path=_PATH,
+    env_cls="ShogiEnv",
+)
+register(
     task_id="SparrowMahjong-v1",
     import_path=_PATH,
     env_cls="SparrowMahjongEnv",
