@@ -1,0 +1,508 @@
+"""CarRacing — TPU-native top-down racing with on-device pixel obs.
+
+Behavioral reference: ``envpool/box2d/car_racing_env.{h,cc}`` /
+``car_dynamics.cc`` (ports of Gym's Box2D CarRacing).  The gym constants
+(track generator, wheel friction model, reward accounting, terminals)
+are kept exactly; the Box2D rigid-body machinery is replaced by:
+
+* track: the checkpoint walk runs as a fixed-length ``lax.scan`` (2500
+  steps, retried via ``lax.while_loop`` until the loop closes), padded
+  to ``MAX_TILES`` with a validity mask;
+* car: single rigid body + 4 wheel states (steer servo rate 3 rad/s,
+  wheel ω with engine/brake dynamics, friction-limited tire forces
+  applied at the wheel positions) — the rigid-attachment approximation
+  of the Box2D wheel joints (documented);
+* obs: 96x96x3 uint8 rendered on device each step — road band =
+  min distance to the track polyline <= TRACK_WIDTH (vectorized over
+  pixels x segments), red-white borders on sharp turns, grass checker,
+  hull sprite and speed indicator bars.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.env import EnvOut, TpuEnv
+from ...core.specs import ArraySpec
+
+FPS = 50.0
+DT = 1.0 / FPS
+SCALE = 6.0
+TRACK_RAD = 900.0 / SCALE
+PLAYFIELD = 2000.0 / SCALE
+TRACK_DETAIL_STEP = 21.0 / SCALE
+TRACK_TURN_RATE = 0.31
+TRACK_WIDTH = 40.0 / SCALE
+BORDER = 8.0 / SCALE
+BORDER_MIN_COUNT = 4
+GRASS_DIM = PLAYFIELD / 20.0
+ZOOM = 2.7
+STATE_W, STATE_H = 96, 96
+CHECKPOINTS = 12
+MAX_TILES = 360
+WALK_STEPS = 2500
+
+# Car constants (car_dynamics.py).
+SIZE = 0.02
+ENGINE_POWER = 1e8 * SIZE * SIZE
+WHEEL_MOI = 4000 * SIZE * SIZE
+FRICTION_LIMIT = 1e6 * SIZE * SIZE
+WHEEL_R = 27 * SIZE
+WHEELPOS = np.asarray(
+    [(-55, 80), (55, 80), (-55, -82), (55, -82)], np.float32
+) * SIZE
+# Hull mass from the four polygons at density 1 (Box2D computes ~ this).
+HULL_MASS = 1.9
+HULL_I = 1.3
+
+
+class CarRacingEnv(TpuEnv):
+    DEFAULT_CONFIG = {
+        "continuous": True,
+        "lap_complete_percent": 0.95,
+        "reward_threshold": 900.0,
+    }
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.continuous = bool(config["continuous"])
+        self.lap_percent = float(config["lap_complete_percent"])
+
+    # -- specs -------------------------------------------------------------
+
+    def state_spec(self):
+        return {
+            "obs": ArraySpec(jnp.uint8, (STATE_H, STATE_W, 3), 0, 255),
+        }
+
+    def action_spec(self):
+        if self.continuous:
+            return {"action": ArraySpec(jnp.float32, (3,), -1.0, 1.0)}
+        return {"action": ArraySpec(jnp.int32, (), 0, 4, is_discrete=True)}
+
+    # -- track generation --------------------------------------------------
+
+    def _make_track(self, key):
+        """→ (xy [MAX_TILES, 2], beta [MAX_TILES], valid [MAX_TILES])."""
+
+        def attempt(key):
+            kcp, kwalk = jax.random.split(key)
+            ks = jax.random.split(kcp, CHECKPOINTS)
+            cps = []
+            for c in range(CHECKPOINTS):
+                noise = jax.random.uniform(
+                    ks[c], (), jnp.float32, 0, 2 * np.pi / CHECKPOINTS
+                )
+                alpha = 2 * np.pi * c / CHECKPOINTS + noise
+                rad = jax.random.uniform(
+                    ks[c], (), jnp.float32, TRACK_RAD / 3, TRACK_RAD
+                )
+                if c == 0:
+                    alpha = jnp.float32(0.0)
+                    rad = jnp.float32(1.5 * TRACK_RAD)
+                if c == CHECKPOINTS - 1:
+                    alpha = jnp.float32(2 * np.pi * c / CHECKPOINTS)
+                    rad = jnp.float32(1.5 * TRACK_RAD)
+                cps.append(
+                    jnp.stack([alpha, rad * jnp.cos(alpha),
+                               rad * jnp.sin(alpha)])
+                )
+            cps = jnp.stack(cps)  # [12, 3]
+            start_alpha = 2 * np.pi * (-0.5) / CHECKPOINTS
+
+            def walk(carry, _):
+                x, y, beta, dest_i, prev_alpha, unwrap = carry
+                alpha = jnp.arctan2(y, x)
+                alpha = jnp.where(alpha < 0, alpha + 2 * np.pi, alpha)
+                # Cumulative unwrapping: detect the 2π wrap to keep a
+                # monotone angle for the lap-crossing search below.
+                wrapped = alpha < prev_alpha - np.pi
+                unwrap = unwrap + jnp.where(wrapped, 2 * np.pi, 0.0)
+                # Destination: first checkpoint with dest_alpha >= alpha
+                # starting from dest_i (wrap adds 2π).
+                da = cps[:, 0]
+                rel = jnp.arange(CHECKPOINTS)
+                idxs = (dest_i + rel) % CHECKPOINTS
+                alphas = da[idxs] + 2 * np.pi * (
+                    (dest_i + rel) // CHECKPOINTS
+                ).astype(jnp.float32)
+                ok = alphas >= alpha
+                pick = jnp.argmax(ok)
+                dest_i_new = dest_i + pick
+                dest = cps[dest_i_new % CHECKPOINTS]
+                dest_x, dest_y = dest[1], dest[2]
+                r1x, r1y = jnp.cos(beta), jnp.sin(beta)
+                p1x, p1y = -r1y, r1x
+                proj = r1x * (dest_x - x) + r1y * (dest_y - y)
+                beta = jnp.where(
+                    beta - alpha > 1.5 * np.pi, beta - 2 * np.pi, beta
+                )
+                beta = jnp.where(
+                    beta - alpha < -1.5 * np.pi, beta + 2 * np.pi, beta
+                )
+                prev_beta = beta
+                proj = proj * SCALE
+                beta = jnp.where(
+                    proj > 0.3,
+                    beta - jnp.minimum(TRACK_TURN_RATE, 0.001 * proj),
+                    beta,
+                )
+                beta = jnp.where(
+                    proj < -0.3,
+                    beta + jnp.minimum(TRACK_TURN_RATE, -0.001 * proj),
+                    beta,
+                )
+                x = x + p1x * TRACK_DETAIL_STEP
+                y = y + p1y * TRACK_DETAIL_STEP
+                out = jnp.stack(
+                    [alpha + unwrap, 0.5 * prev_beta + 0.5 * beta, x, y]
+                )
+                return (x, y, beta, dest_i_new, alpha, unwrap), out
+
+            init = (
+                jnp.float32(1.5 * TRACK_RAD),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+                jnp.int32(0),
+                jnp.float32(0.0),
+                jnp.float32(0.0),
+            )
+            (_, _, _, _, _, _), trk = jax.lax.scan(
+                walk, init, None, length=WALK_STEPS
+            )
+            # Closed-loop window: the last two crossings of
+            # start_alpha (mod 2π) on the monotone unwrapped angle.
+            alpha_u = trk[:, 0]
+            k = jnp.floor((alpha_u - start_alpha) / (2 * np.pi))
+            passes = k > jnp.roll(k, 1)
+            passes = passes.at[0].set(False)
+            idx = jnp.arange(WALK_STEPS)
+            i2 = jnp.max(jnp.where(passes, idx, -1))
+            passes2 = passes & (idx < i2)
+            i1 = jnp.max(jnp.where(passes2, idx, -1))
+            valid_attempt = (i1 > 0) & (i2 > i1 + 10) & (
+                (i2 - i1) < MAX_TILES
+            )
+            # Gather track[i1 : i2-1] into fixed MAX_TILES.
+            gidx = jnp.clip(i1 + jnp.arange(MAX_TILES), 0, WALK_STEPS - 1)
+            seg = trk[gidx]
+            valid = (jnp.arange(MAX_TILES) < (i2 - 1 - i1)) & valid_attempt
+            # Glue check.
+            first_beta = seg[0, 1]
+            dx = seg[0, 2] - trk[jnp.clip(i2 - 2, 0, WALK_STEPS - 1), 2]
+            dy = seg[0, 3] - trk[jnp.clip(i2 - 2, 0, WALK_STEPS - 1), 3]
+            glued = jnp.sqrt(
+                (jnp.cos(first_beta) * dx) ** 2
+                + (jnp.sin(first_beta) * dy) ** 2
+            ) <= TRACK_DETAIL_STEP
+            good = valid_attempt & glued
+            return seg, valid, good
+
+        def cond(carry):
+            _, _, good, _ = carry
+            return ~good
+
+        def body(carry):
+            _, _, _, k = carry
+            k1, k2 = jax.random.split(k)
+            seg, valid, good = attempt(k1)
+            return seg, valid, good, k2
+
+        seg0, valid0, good0 = attempt(key)
+        seg, valid, good, _ = jax.lax.while_loop(
+            cond, body, (seg0, valid0, good0, key)
+        )
+        xy = seg[:, 2:4]
+        beta = seg[:, 1]
+        # Sharp-turn borders (red-white curbs).
+        dbeta = jnp.abs(jnp.roll(beta, -1) - beta)
+        border = dbeta > TRACK_TURN_RATE * 0.2
+        return xy.astype(jnp.float32), beta.astype(jnp.float32), valid, border
+
+    # -- car dynamics ------------------------------------------------------
+
+    def _car_step(self, car, steer_cmd, gas, brake, on_grass):
+        """One 1/50 s step of the 4-wheel friction model."""
+        x, y, th = car["x"], car["y"], car["th"]
+        vx, vy, om = car["vx"], car["vy"], car["om"]
+        steer = car["steer"]       # [2] front wheel joint angles
+        womega = car["womega"]     # [4]
+
+        # Steering servo (rate-limited toward the command).
+        err = steer_cmd - steer
+        steer = steer + DT * jnp.sign(err) * jnp.minimum(
+            50.0 * jnp.abs(err), 3.0
+        )
+
+        c, s = jnp.cos(th), jnp.sin(th)
+        Fx_total = jnp.float32(0.0)
+        Fy_total = jnp.float32(0.0)
+        tau_total = jnp.float32(0.0)
+        new_womega = []
+        for wi in range(4):
+            wpos_local = jnp.asarray(WHEELPOS[wi])
+            rx = c * wpos_local[0] - s * wpos_local[1]
+            ry = s * wpos_local[0] + c * wpos_local[1]
+            wvx = vx - om * ry
+            wvy = vy + om * rx
+            wheel_angle = th + (steer[wi] if wi < 2 else 0.0)
+            fc, fs = jnp.cos(wheel_angle), jnp.sin(wheel_angle)
+            forw = (-fs, fc)   # local (0,1) rotated
+            side = (fc, fs)    # local (1,0) rotated
+            vf = forw[0] * wvx + forw[1] * wvy
+            vs = side[0] * wvx + side[1] * wvy
+            wo = womega[wi]
+            wo = wo + DT * ENGINE_POWER * gas / WHEEL_MOI / (
+                jnp.abs(wo) + 5.0
+            ) * (1.0 if wi >= 2 else 0.0)  # rear-wheel drive
+            # Brake.
+            full_stop = brake >= 0.9
+            val = jnp.minimum(15.0 * brake, jnp.abs(wo))
+            wo = jnp.where(
+                full_stop, 0.0, wo - jnp.sign(wo) * val * (brake > 0)
+            )
+            vr = wo * WHEEL_R
+            f_force = (-vf + vr) * (205000 * SIZE * SIZE)
+            p_force = -vs * (205000 * SIZE * SIZE)
+            force = jnp.sqrt(f_force**2 + p_force**2) + 1e-8
+            limit = FRICTION_LIMIT * jnp.where(on_grass[wi], 0.6, 1.0)
+            scalef = jnp.minimum(1.0, limit / force)
+            f_force = f_force * scalef
+            p_force = p_force * scalef
+            wo = wo - DT * f_force * WHEEL_R / WHEEL_MOI
+            Fx = p_force * side[0] + f_force * forw[0]
+            Fy = p_force * side[1] + f_force * forw[1]
+            Fx_total = Fx_total + Fx
+            Fy_total = Fy_total + Fy
+            tau_total = tau_total + rx * Fy - ry * Fx
+            new_womega.append(wo)
+
+        vx = vx + DT * Fx_total / HULL_MASS
+        vy = vy + DT * Fy_total / HULL_MASS
+        om = om + DT * tau_total / HULL_I
+        x = x + DT * vx
+        y = y + DT * vy
+        th = th + DT * om
+        return {
+            "x": x, "y": y, "th": th, "vx": vx, "vy": vy, "om": om,
+            "steer": steer, "womega": jnp.stack(new_womega),
+        }
+
+    # -- rendering ---------------------------------------------------------
+
+    @staticmethod
+    def _segments(track_xy, valid):
+        """(a, b) segment endpoints with the loop closed at the last
+        valid tile (padding never pairs into a segment)."""
+        n = jnp.sum(valid)
+        idx = jnp.arange(track_xy.shape[0])
+        nxt = jnp.where(idx + 1 >= n, 0, idx + 1)
+        a = track_xy
+        b = track_xy[nxt]
+        return a, b
+
+    def _render_obs(self, car, track_xy, valid, border, t):
+        """96x96x3 uint8, car-centred rotated view (gym state_pixels)."""
+        zoom = 0.1 * SCALE * jnp.maximum(1 - t, 0) + ZOOM * SCALE * (
+            jnp.minimum(t, 1)
+        )
+        # Pixel grid in window coords: car at (W/2, H*3/4) with the view
+        # rotated so the car faces up.
+        px = jnp.arange(STATE_W, dtype=jnp.float32)[None, :] - STATE_W / 2
+        py = (STATE_H * 0.75) - jnp.arange(STATE_H, dtype=jnp.float32)[:, None]
+        # Rotate by hull angle then translate to world.
+        c, s = jnp.cos(car["th"]), jnp.sin(car["th"])
+        wx = car["x"] + (c * px - s * py) / zoom * SCALE
+        wy = car["y"] + (s * px + c * py) / zoom * SCALE
+        pts = jnp.stack([wx, wy], axis=-1).reshape(-1, 2)  # [HW, 2]
+
+        a, b = self._segments(track_xy, valid)
+        ab = b - a                                          # [T, 2]
+        ab2 = jnp.sum(ab * ab, axis=-1) + 1e-8
+        ap = pts[:, None, :] - a[None, :, :]                # [HW, T, 2]
+        tpar = jnp.clip(
+            jnp.sum(ap * ab[None], axis=-1) / ab2[None], 0.0, 1.0
+        )
+        closest = a[None] + tpar[..., None] * ab[None]
+        d2 = jnp.sum((pts[:, None, :] - closest) ** 2, axis=-1)
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        seg_i = jnp.argmin(d2, axis=-1)
+        dmin = jnp.sqrt(jnp.min(d2, axis=-1))
+        on_road = dmin <= TRACK_WIDTH
+        on_border = (
+            (dmin > TRACK_WIDTH)
+            & (dmin <= TRACK_WIDTH + BORDER)
+            & border[seg_i]
+        )
+        # Grass checker.
+        gx = jnp.floor(pts[:, 0] / GRASS_DIM).astype(jnp.int32)
+        gy = jnp.floor(pts[:, 1] / GRASS_DIM).astype(jnp.int32)
+        light = ((gx + gy) % 2) == 0
+        grass = jnp.where(
+            light[:, None],
+            jnp.asarray([102, 230, 102], jnp.float32),
+            jnp.asarray([102, 204, 102], jnp.float32),
+        )
+        road = jnp.asarray([102, 102, 102], jnp.float32)
+        red = jnp.asarray([255, 0, 0], jnp.float32)
+        white = jnp.asarray([255, 255, 255], jnp.float32)
+        curb = jnp.where(((seg_i // 2) % 2 == 0)[:, None], red, white)
+        img = jnp.where(
+            on_road[:, None], road,
+            jnp.where(on_border[:, None], curb, grass),
+        )
+        img = img.reshape(STATE_H, STATE_W, 3)
+        # Car sprite: red box at the fixed car position.
+        rows = jnp.arange(STATE_H)[:, None]
+        cols = jnp.arange(STATE_W)[None, :]
+        car_mask = (
+            (jnp.abs(cols - STATE_W // 2) <= 2)
+            & (rows >= STATE_H * 0.75 - 5)
+            & (rows <= STATE_H * 0.75 + 4)
+        )
+        img = jnp.where(
+            car_mask[..., None], jnp.asarray([204, 0, 0], jnp.float32), img
+        )
+        # Indicator strip (bottom 12 rows black + speed bar, as in gym).
+        ind = rows >= STATE_H - 10
+        img = jnp.where(ind[..., None], 0.0, img)
+        speed = jnp.sqrt(car["vx"] ** 2 + car["vy"] ** 2)
+        bar = (
+            (rows >= STATE_H - 8)
+            & (cols >= 6)
+            & (cols <= 6 + jnp.clip(speed, 0, 40))
+        )
+        img = jnp.where(
+            bar[..., None], jnp.asarray([255, 255, 255], jnp.float32), img
+        )
+        return img.astype(jnp.uint8)
+
+    # -- env contract ------------------------------------------------------
+
+    def _on_grass(self, car, track_xy, valid):
+        """Per-wheel grass flag: wheel farther than TRACK_WIDTH from the
+        track centerline."""
+        c, s = jnp.cos(car["th"]), jnp.sin(car["th"])
+        flags = []
+        a, b = self._segments(track_xy, valid)
+        ab = b - a
+        ab2 = jnp.sum(ab * ab, axis=-1) + 1e-8
+        for wi in range(4):
+            w = jnp.asarray(WHEELPOS[wi])
+            px = car["x"] + c * w[0] - s * w[1]
+            py = car["y"] + s * w[0] + c * w[1]
+            p = jnp.stack([px, py])
+            ap = p[None, :] - a
+            tpar = jnp.clip(jnp.sum(ap * ab, -1) / ab2, 0, 1)
+            closest = a + tpar[:, None] * ab
+            d2 = jnp.sum((p[None] - closest) ** 2, -1)
+            d2 = jnp.where(valid, d2, jnp.inf)
+            flags.append(jnp.sqrt(jnp.min(d2)) > TRACK_WIDTH)
+        return jnp.stack(flags)
+
+    def _nearest_tile(self, car, track_xy, valid):
+        a, b = self._segments(track_xy, valid)
+        ab = b - a
+        ab2 = jnp.sum(ab * ab, axis=-1) + 1e-8
+        p = jnp.stack([car["x"], car["y"]])
+        ap = p[None, :] - a
+        tpar = jnp.clip(jnp.sum(ap * ab, -1) / ab2, 0, 1)
+        closest = a + tpar[:, None] * ab
+        d2 = jnp.sum((p[None] - closest) ** 2, -1)
+        d2 = jnp.where(valid, d2, jnp.inf)
+        return jnp.argmin(d2), jnp.sqrt(jnp.min(d2))
+
+    def reset_env(self, key):
+        xy, beta, valid, border = self._make_track(key)
+        car = {
+            "x": xy[0, 0],
+            "y": xy[0, 1],
+            "th": beta[0],  # gym: Car(angle=beta, x, y)
+            "vx": jnp.float32(0.0),
+            "vy": jnp.float32(0.0),
+            "om": jnp.float32(0.0),
+            "steer": jnp.zeros(2, jnp.float32),
+            "womega": jnp.zeros(4, jnp.float32),
+        }
+        st = {
+            "car": car,
+            "track": xy,
+            "beta": beta,
+            "valid": valid,
+            "border": border,
+            "visited": jnp.zeros(MAX_TILES, bool),
+            "reward_acc": jnp.float32(0.0),
+            "prev_reward": jnp.float32(0.0),
+            "t": jnp.float32(0.0),
+        }
+        return st, {"obs": self._render_obs(car, xy, valid, border, st["t"])}
+
+    def step_env(self, state, action, key):
+        st = dict(state)
+        if self.continuous:
+            a = jnp.clip(jnp.reshape(action, (3,)).astype(jnp.float32), -1, 1)
+            steer_cmd = -a[0] * 0.4  # joint limit ±0.4 rad (car_dynamics)
+            gas = jnp.clip(a[1], 0, 1)
+            brake = jnp.clip(a[2], 0, 1)
+        else:
+            a = jnp.reshape(action, ()).astype(jnp.int32)
+            steer_cmd = jnp.where(
+                a == 1, 0.24, jnp.where(a == 2, -0.24, 0.0)
+            )
+            gas = jnp.where(a == 3, 0.2, 0.0)
+            brake = jnp.where(a == 4, 0.8, 0.0)
+
+        car = st["car"]
+        on_grass = self._on_grass(car, st["track"], st["valid"])
+        car = self._car_step(
+            car, jnp.stack([steer_cmd, steer_cmd]), gas, brake, on_grass
+        )
+        t = st["t"] + DT
+
+        tile_i, dist = self._nearest_tile(car, st["track"], st["valid"])
+        on_track = dist <= TRACK_WIDTH
+        newly = on_track & ~st["visited"][tile_i]
+        visited = st["visited"].at[tile_i].set(
+            st["visited"][tile_i] | on_track
+        )
+        n_tiles = jnp.sum(st["valid"])
+        reward_acc = (
+            st["reward_acc"]
+            + jnp.where(newly, 1000.0 / n_tiles.astype(jnp.float32), 0.0)
+            - 0.1
+        )
+        step_reward = reward_acc - st["prev_reward"]
+
+        visited_count = jnp.sum(visited & st["valid"])
+        lap_done = visited_count >= (
+            self.lap_percent * n_tiles.astype(jnp.float32)
+        )
+        off_field = (jnp.abs(car["x"]) > PLAYFIELD) | (
+            jnp.abs(car["y"]) > PLAYFIELD
+        )
+        step_reward = jnp.where(off_field, -100.0, step_reward)
+        terminated = lap_done | off_field
+
+        st2 = {
+            "car": car,
+            "track": st["track"],
+            "beta": st["beta"],
+            "valid": st["valid"],
+            "border": st["border"],
+            "visited": visited,
+            "reward_acc": reward_acc,
+            "prev_reward": reward_acc,
+            "t": t,
+        }
+        return EnvOut(
+            state=st2,
+            obs={
+                "obs": self._render_obs(
+                    car, st["track"], st["valid"], st["border"], t
+                )
+            },
+            reward=jnp.asarray(step_reward, jnp.float32),
+            terminated=jnp.asarray(terminated, jnp.bool_),
+        )

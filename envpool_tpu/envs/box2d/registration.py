@@ -38,3 +38,15 @@ register(
     max_episode_steps=2000,
     reward_threshold=300.0,
 )
+
+for version in ("v2", "v3"):
+    register(
+        task_id=f"CarRacing-{version}",
+        import_path=_PATH,
+        env_cls="CarRacingEnv",
+        continuous=True,
+        max_episode_steps=1000,
+        reward_threshold=900.0,
+        # v2 completes a lap at every tile; v3 at 95% (gym default).
+        lap_complete_percent=0.95 if version == "v3" else 1.0,
+    )

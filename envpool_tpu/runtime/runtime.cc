@@ -191,16 +191,18 @@ class AsyncExecutor {
   }
 
   void WorkerLoop() {
+    // Per-worker scratch row sized to the actual state_dim (a fixed
+    // float[64] silently corrupted memory for state_dim > 64).
+    std::vector<float> row(static_cast<size_t>(state_dim_));
     while (true) {
       ActionSlice s = queue_.Dequeue();
       if (s.env_id < 0 || stop_.load()) return;
-      float row[64];
       uint8_t done_flag = 0;
       const float* act = &actions_[static_cast<size_t>(s.env_id) * action_dim_];
       if (step_fn_ != nullptr) {
         int reset = s.force_reset ? 1 : 0;
         done_flag = static_cast<uint8_t>(
-            step_fn_(ctx_, s.env_id, reset, act, row));
+            step_fn_(ctx_, s.env_id, reset, act, row.data()));
       } else {
         auto& env = builtin_[s.env_id];
         bool reset = s.force_reset || env.done;
@@ -226,8 +228,8 @@ class AsyncExecutor {
       uint64_t bidx = a / batch_;
       int slot = static_cast<int>(a % batch_);
       StateBuffer* buf = GetBuffer(bidx);
-      std::memcpy(&buf->data[static_cast<size_t>(slot) * state_dim_], row,
-                  sizeof(float) * state_dim_);
+      std::memcpy(&buf->data[static_cast<size_t>(slot) * state_dim_],
+                  row.data(), sizeof(float) * state_dim_);
       buf->env_ids[slot] = s.env_id;
       buf->dones[slot] = done_flag;
       int finished = buf->count.fetch_add(1, std::memory_order_acq_rel) + 1;
