@@ -5,9 +5,30 @@ Here the games and the full pixel pipeline run on TPU.
 """
 
 from .arcade_env import ArcadeEnv, ArcadeGame
+from .more_games import (
+    AsterixEnv,
+    BowlingEnv,
+    BoxingEnv,
+    EnduroEnv,
+    SeaquestEnv,
+    SkiingEnv,
+)
 from .breakout import BreakoutEnv
 from .freeway import FreewayEnv
 from .pong import PongEnv
 from .space_invaders import SpaceInvadersEnv
 
-__all__ = ["ArcadeEnv", "ArcadeGame", "BreakoutEnv", "FreewayEnv", "PongEnv", "SpaceInvadersEnv"]
+__all__ = [
+    "ArcadeEnv",
+    "ArcadeGame",
+    "AsterixEnv",
+    "BowlingEnv",
+    "BoxingEnv",
+    "BreakoutEnv",
+    "EnduroEnv",
+    "FreewayEnv",
+    "PongEnv",
+    "SeaquestEnv",
+    "SkiingEnv",
+    "SpaceInvadersEnv",
+]

@@ -49,3 +49,20 @@ register(
     max_episode_steps=27000,
     task="space_invaders",
 )
+
+# Arcade wave 2 (more_games.py).
+for _task_id, _cls, _task in (
+    ("AsterixLite-v5", "AsterixEnv", "asterix"),
+    ("SkiingLite-v5", "SkiingEnv", "skiing"),
+    ("BoxingLite-v5", "BoxingEnv", "boxing"),
+    ("SeaquestLite-v5", "SeaquestEnv", "seaquest"),
+    ("EnduroLite-v5", "EnduroEnv", "enduro"),
+    ("BowlingLite-v5", "BowlingEnv", "bowling"),
+):
+    register(
+        task_id=_task_id,
+        import_path=_PATH,
+        env_cls=_cls,
+        max_episode_steps=27000,
+        task=_task,
+    )
