@@ -10,6 +10,7 @@ import envpool_tpu.envs.metaworld.registration  # noqa: F401
 import envpool_tpu.envs.minigrid.registration  # noqa: F401
 import envpool_tpu.envs.mujoco_dmc.registration  # noqa: F401
 import envpool_tpu.envs.mujoco_gym.registration  # noqa: F401
+import envpool_tpu.envs.playground.registration  # noqa: F401
 import envpool_tpu.envs.robotics.registration  # noqa: F401
 import envpool_tpu.envs.toy_text.registration  # noqa: F401
 from envpool_tpu.core.registry import register as _register
