@@ -8,6 +8,7 @@ import envpool_tpu.envs.highway.registration  # noqa: F401
 import envpool_tpu.envs.jumanji.registration  # noqa: F401
 import envpool_tpu.envs.metaworld.registration  # noqa: F401
 import envpool_tpu.envs.minigrid.registration  # noqa: F401
+import envpool_tpu.envs.myosuite.registration  # noqa: F401
 import envpool_tpu.envs.mujoco_dmc.registration  # noqa: F401
 import envpool_tpu.envs.mujoco_gym.registration  # noqa: F401
 import envpool_tpu.envs.playground.registration  # noqa: F401
