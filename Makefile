@@ -6,7 +6,7 @@ PYTHON ?= python
 # families — jumanji, highway, minigrid — dominate a serial run).
 SHARDS ?= 5
 
-.PHONY: test test-serial test-fast bench runtime lint check-all
+.PHONY: test test-serial test-fast bench runtime lint wheel check-all
 
 test:
 	$(PYTHON) tools/run_sharded_tests.py --shards $(SHARDS)
@@ -32,5 +32,8 @@ lint:
 	else \
 		echo "ruff not installed; compileall gate only"; \
 	fi
+
+wheel:
+	$(PYTHON) -m pip wheel . --no-deps -w dist --no-build-isolation
 
 check-all: lint test bench

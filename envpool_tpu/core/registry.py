@@ -78,10 +78,22 @@ class EnvRegistry:
             )
         import_path, env_cls, default_kwargs = self.specs[task_id]
         self._check_seed(kwargs)
+        # from_pixels → Pixel variant (reference registration.py:142-185).
+        from_pixels = bool(kwargs.pop("from_pixels", False))
+        pixel_kwargs = {
+            k: kwargs.pop(k)
+            for k in ("height", "width", "stack", "view_size", "track_body")
+            if k in kwargs
+        }
         module = importlib.import_module(import_path)
         cls = getattr(module, env_cls)
         merged = {**default_kwargs, **kwargs}
-        return cls.from_config(**merged)
+        env = cls.from_config(**merged)
+        if from_pixels:
+            from ..envs.pixels import wrap_from_pixels
+
+            env = wrap_from_pixels(env, **pixel_kwargs)
+        return env
 
     def make_spec(self, task_id: str, **kwargs: Any):
         from .env_spec import EnvSpec

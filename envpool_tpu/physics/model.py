@@ -97,6 +97,14 @@ class PhysModel:
     act_dyntype: np.ndarray = None    # [nu] (0 none, 2/3 filter, 4 muscle)
     act_dynprm: np.ndarray = None     # [nu] tau
 
+    # Raw geom tables (for the device rasterizer / from_pixels path).
+    geom_body: np.ndarray = None   # [ng] body id
+    geom_type: np.ndarray = None   # [ng] mjtGeom
+    geom_size: np.ndarray = None   # [ng, 3]
+    geom_pos: np.ndarray = None    # [ng, 3] body-frame offset
+    geom_quat: np.ndarray = None   # [ng, 4]
+    geom_rgba: np.ndarray = None   # [ng, 4]
+
     # Fixed tendons: length = Σ coef_j · qpos[j] over hinge/slide joints.
     # Per tendon: tuple of (qposadr, dofadr, coef) triples, plus passive
     # spring/damping constants (MuJoCo tendon_stiffness/damping applied to
@@ -362,6 +370,12 @@ def from_mj_model(m) -> PhysModel:
         else np.zeros(0, np.int32),
         site_pos=m.site_pos.copy() if m.nsite else np.zeros((0, 3)),
         site_names=tuple(m.site(i).name for i in range(m.nsite)),
+        geom_body=m.geom_bodyid.copy(),
+        geom_type=m.geom_type.copy(),
+        geom_size=m.geom_size.copy(),
+        geom_pos=m.geom_pos.copy(),
+        geom_quat=m.geom_quat.copy(),
+        geom_rgba=m.geom_rgba.copy(),
         body_names=tuple(m.body(i).name for i in range(m.nbody)),
         timestep=float(m.opt.timestep),
         gravity=m.opt.gravity.copy(),
