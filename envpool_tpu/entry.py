@@ -4,6 +4,7 @@ import envpool_tpu.envs.atari.registration  # noqa: F401
 import envpool_tpu.envs.board.registration  # noqa: F401
 import envpool_tpu.envs.box2d.registration  # noqa: F401
 import envpool_tpu.envs.classic_control.registration  # noqa: F401
+import envpool_tpu.envs.gfootball.registration  # noqa: F401
 import envpool_tpu.envs.highway.registration  # noqa: F401
 import envpool_tpu.envs.jumanji.registration  # noqa: F401
 import envpool_tpu.envs.metaworld.registration  # noqa: F401

@@ -34,6 +34,19 @@ WEIGHTS = {
     "test_box2d.py": 60,
     "test_engine.py": 50,
     "test_distributed.py": 50,
+    "test_chess.py": 220,
+    "test_shogi.py": 200,
+    "test_gardner_chess.py": 60,
+    "test_car_racing.py": 240,
+    "test_bipedal_walker.py": 190,
+    "test_dmc_wave3.py": 150,
+    "test_robotics_oracle.py": 30,
+    "test_metaworld.py": 40,
+    "test_playground.py": 60,
+    "test_mujoco_gym_oracle.py": 30,
+    "test_pixels.py": 40,
+    "test_sparrow_mahjong.py": 40,
+    "test_atari_wave2.py": 30,
 }
 
 
