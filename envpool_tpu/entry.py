@@ -13,6 +13,7 @@ import envpool_tpu.envs.myosuite.registration  # noqa: F401
 import envpool_tpu.envs.mujoco_dmc.registration  # noqa: F401
 import envpool_tpu.envs.mujoco_gym.registration  # noqa: F401
 import envpool_tpu.envs.playground.registration  # noqa: F401
+import envpool_tpu.envs.procgen.registration  # noqa: F401
 import envpool_tpu.envs.robotics.registration  # noqa: F401
 import envpool_tpu.envs.toy_text.registration  # noqa: F401
 from envpool_tpu.core.registry import register as _register

@@ -1,0 +1,120 @@
+"""Shared procgen machinery: action decoding, grid mazes, rendering."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+RES = 64          # procgen native resolution
+N_ACTIONS = 15
+
+# Procgen's 15-action combo set: (dx, dy, special) — movement on a
+# 3x3 pad (9) + special buttons.  Index layout follows the procgen
+# convention: 0..8 = (left/none/right) x (down/none/up), 9..14 specials.
+_AX = np.asarray([-1, -1, -1, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0], np.int32)
+_AY = np.asarray([-1, 0, 1, -1, 0, 1, -1, 0, 1, 0, 0, 0, 0, 0, 0], np.int32)
+_SPECIAL = np.asarray(
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 5, 6], np.int32
+)
+
+
+def decode_action(a):
+    """→ (dx, dy, special_id) with dy>0 = up, special 1 = fire/jump."""
+    a = jnp.clip(a, 0, N_ACTIONS - 1)
+    return (
+        jnp.asarray(_AX)[a],
+        jnp.asarray(_AY)[a],
+        jnp.asarray(_SPECIAL)[a],
+    )
+
+
+def gen_maze(key, n: int, extra_open: float = 0.0):
+    """[n, n] wall bitmap: randomized DFS over odd cells (lax.scan).
+
+    Classic recursive-backtracker on the (n//2)^2 odd-cell lattice,
+    iterative with an explicit stack; ``extra_open`` knocks out a
+    fraction of remaining walls (easier modes).
+    """
+    m = n // 2
+    n_cells = m * m
+    walls0 = jnp.ones((n, n), bool)
+
+    def cell_xy(c):
+        return 1 + 2 * (c % m), 1 + 2 * (c // m)
+
+    k_dirs, k_open = jax.random.split(key)
+    dir_keys = jax.random.split(k_dirs, 4 * n_cells)
+    rand_dirs = jax.random.randint(
+        k_dirs, (4 * n_cells, 4), 0, 4
+    )
+
+    def body(carry, t):
+        walls, visited, stack, sp = carry
+        cur = stack[jnp.maximum(sp - 1, 0)]
+        cx, cy = cell_xy(cur)
+        # Try the 4 neighbors in a per-step random order.
+        order = jnp.argsort(
+            jax.random.uniform(jax.random.fold_in(k_dirs, t), (4,))
+        )
+        dxs = jnp.asarray([1, -1, 0, 0])[order]
+        dys = jnp.asarray([0, 0, 1, -1])[order]
+        found = jnp.int32(-1)
+        fdx = jnp.int32(0)
+        fdy = jnp.int32(0)
+        for i in range(4):
+            nx = cur % m + dxs[i]
+            ny = cur // m + dys[i]
+            ok = (nx >= 0) & (nx < m) & (ny >= 0) & (ny < m)
+            ncell = jnp.clip(ny * m + nx, 0, n_cells - 1)
+            fresh = ok & ~visited[ncell] & (found < 0)
+            found = jnp.where(fresh, ncell, found)
+            fdx = jnp.where(fresh, dxs[i], fdx)
+            fdy = jnp.where(fresh, dys[i], fdy)
+        has = found >= 0
+        # Carve: the wall between and the target cell.
+        wx = cx + fdx
+        wy = cy + fdy
+        tx = cx + 2 * fdx
+        ty = cy + 2 * fdy
+        walls = jnp.where(
+            has,
+            walls.at[wy, wx].set(False).at[ty, tx].set(False),
+            walls,
+        )
+        visited = jnp.where(has, visited.at[found].set(True), visited)
+        stack = jnp.where(
+            has, stack.at[sp].set(found), stack
+        )
+        sp = jnp.where(has, sp + 1, jnp.maximum(sp - 1, 1))
+        return (walls, visited, stack, sp), None
+
+    walls0 = walls0.at[1, 1].set(False)
+    visited0 = jnp.zeros(n_cells, bool).at[0].set(True)
+    stack0 = jnp.zeros(4 * n_cells, jnp.int32)
+    (walls, _, _, _), _ = jax.lax.scan(
+        body,
+        (walls0, visited0, stack0, jnp.int32(1)),
+        jnp.arange(4 * n_cells),
+    )
+    if extra_open > 0:
+        holes = jax.random.uniform(k_open, (n, n)) < extra_open
+        interior = jnp.zeros((n, n), bool).at[1:-1, 1:-1].set(True)
+        walls = walls & ~(holes & interior)
+    return walls
+
+
+def render_grid(cells_rgb, res: int = RES):
+    """[n, n, 3] float cell colors → [res, res, 3] uint8 (nearest)."""
+    n = cells_rgb.shape[0]
+    idx = (jnp.arange(res) * n // res).astype(jnp.int32)
+    img = cells_rgb[idx[:, None], idx[None, :]]
+    return jnp.clip(img, 0, 255).astype(jnp.uint8)
+
+
+def draw_disc(img, x, y, r, rgb):
+    """Draw a disc on [res, res, 3] float canvas (y up, pixel coords)."""
+    rows = jax.lax.broadcasted_iota(jnp.float32, (RES, RES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (RES, RES), 1)
+    mask = (rows - y) ** 2 + (cols - x) ** 2 <= r * r
+    return jnp.where(mask[..., None], jnp.asarray(rgb, jnp.float32), img)
