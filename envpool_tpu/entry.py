@@ -16,6 +16,7 @@ import envpool_tpu.envs.playground.registration  # noqa: F401
 import envpool_tpu.envs.procgen.registration  # noqa: F401
 import envpool_tpu.envs.robotics.registration  # noqa: F401
 import envpool_tpu.envs.toy_text.registration  # noqa: F401
+import envpool_tpu.envs.vizdoom.registration  # noqa: F401
 from envpool_tpu.core.registry import register as _register
 
 _register(
