@@ -106,7 +106,7 @@ class HumanoidEnv(_HumanoidBase):
         "healthy_reward": 5.0,
         "terminate_when_unhealthy": True,
         "reset_noise_scale": 1e-2,
-        "substeps": 2,
+        "substeps": 1,  # stable at h=3ms with implicit contact damping
         "integrator": "euler",  # RK4 x frame_skip 5 x nv=23 is punitive
         # v5 toggles (gymnasium humanoid_v5): 348-dim obs, healthy_reward
         # only while healthy, contact cost included in the reward.
@@ -181,7 +181,7 @@ class HumanoidStandupEnv(_HumanoidBase):
         "reward_threshold": 0.0,
         "ctrl_cost_weight": 0.1,
         "reset_noise_scale": 1e-2,
-        "substeps": 2,
+        "substeps": 1,
         "integrator": "euler",
         "v5_obs": False,
     }

@@ -150,11 +150,13 @@ class AntEnv(MujocoGymEnv):
         "healthy_reward": 1.0,
         "terminate_when_unhealthy": True,
         "legacy_healthy_reward": True,
-        "substeps": 2,
-        # ant.xml declares RK4; Euler with implicit damping at 2
-        # substeps is the standard MJX/Brax tradeoff (4x fewer forward
-        # evaluations, behaviorally equivalent for penalty contacts).
-        # Pass integrator="model" for the RK4-faithful path.
+        "substeps": 1,
+        # ant.xml declares RK4; Euler with implicit contact damping at a
+        # full model timestep is the standard MJX/Brax tradeoff (8x fewer
+        # forward evaluations, behaviorally equivalent for penalty
+        # contacts — the contact-damping/friction-slope term joins the
+        # implicit LHS in dynamics._contact_forces_shared, which is what
+        # makes h=10ms stable).  Pass integrator="model" for RK4.
         "integrator": "euler",
     }
 

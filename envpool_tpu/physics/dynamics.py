@@ -261,9 +261,19 @@ def _bias_from_accels(model, a_com, omega, omega_dot, Iw, Jp, Jr, dtype):
 def _contact_forces_shared(
     model: PhysModel, params: ContactParams, centers, v_con, Jc, dtype
 ):
-    """Generalized contact force from ground-plane penalty springs."""
+    """Generalized contact force from ground-plane penalty springs.
+
+    Returns ``(tau_con, D_con)``: the generalized force and the
+    velocity-derivative matrix ``−∂tau/∂qd`` of the contact model
+    (normal damping ``kd`` plus the tanh-friction slope ``μ·fn/vs``),
+    projected to joint space.  The Euler integrator folds ``h·D_con``
+    into the implicit LHS, which keeps stiff foot contacts stable at a
+    full model timestep (``substeps=1``) — the same implicit-damping
+    treatment MuJoCo's Euler applies to joint damping.
+    """
     if len(model.con_body) == 0:
-        return jnp.zeros(model.nv, dtype)
+        z = jnp.zeros(model.nv, dtype)
+        return z, jnp.zeros((model.nv, model.nv), dtype)
     radius = jnp.asarray(model.con_radius, dtype)
     pen = radius - centers[:, 2]                       # >0 → penetrating
     active = pen > 0
@@ -278,7 +288,13 @@ def _contact_forces_shared(
     vt_dir = vt / (jnp.linalg.norm(vt, axis=1, keepdims=True) + 1e-9)
     ft = -(mu * fn * scale)[:, None] * vt_dir
     forces = jnp.concatenate([ft, fn[:, None]], axis=1)  # [nc, 3]
-    return jnp.einsum("ck,ick->i", forces, Jc)
+    # Implicit-damping weights per contact axis: tangential slope at
+    # v→0 is μ·fn/vs (the stiff part of the tanh), normal is kd.
+    w_t = mu * fn / params.vs
+    w_n = jnp.where(active, params.kd, 0.0)
+    w = jnp.stack([w_t, w_t, w_n], axis=1)             # [nc, 3]
+    d_con = jnp.einsum("ick,ck,jck->ij", Jc, w, Jc)
+    return jnp.einsum("ck,ick->i", forces, Jc), d_con
 
 
 def _fluid_forces(model: PhysModel, q, qd):
@@ -439,10 +455,13 @@ def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
         )
     else:
         v_con = jnp.zeros((0, 3), dtype)
+    tau_con, d_con = _contact_forces_shared(
+        model, contact, k.centers, v_con, Jc, dtype
+    )
     tau = (
         _actuator_forces(model, ctrl, q, qd)
         + _passive_forces(model, q, qd)
-        + _contact_forces_shared(model, contact, k.centers, v_con, Jc, dtype)
+        + tau_con
         - c
         - damping * qd
     )
@@ -456,7 +475,7 @@ def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
         and len(model.pair_body)
     ):
         tau = tau + _pair_contact_tau(model, k, qd, contact, dtype)
-    return M, tau
+    return M, tau, d_con
 
 
 def _seg_closest(p1, q1, p2, q2):
@@ -639,7 +658,7 @@ def forward(
     contact: ContactParams = ContactParams(),
 ) -> jax.Array:
     """Forward dynamics: qacc with explicit damping (for RK4)."""
-    M, tau = _smooth(model, q, qd, ctrl, contact)
+    M, tau, _ = _smooth(model, q, qd, ctrl, contact)
     return spd_solve(M, tau)
 
 
@@ -740,15 +759,18 @@ def _step_impl(
     damping = jnp.asarray(model.dof_damping, qpos.dtype)
 
     def euler(q, qd):
-        M, tau = _smooth(model, q, qd, ctrl, contact)
+        M, tau, d_con = _smooth(model, q, qd, ctrl, contact)
         # Implicit damping: (M + h·D) qacc = rhs.  The joint-limit penalty
         # spring (klim=300 in _passive_forces) is critically damped against
         # the dof's own inertia while violated — an undamped explicit
         # penalty blows up for light links (swimmer) at h = 2 ms.
+        # d_con (contact normal damping + friction slope, projected to
+        # joint space) joins the LHS so stiff foot contacts stay stable
+        # at a full model timestep.
         d_lim = (
             2.0 * jnp.sqrt(300.0 * jnp.diag(M)) * _limit_violation(model, q)
         )
-        M_imp = M + h * jnp.diag(damping + d_lim)
+        M_imp = M + h * (jnp.diag(damping + d_lim) + d_con)
         qacc = spd_solve(M_imp, tau - d_lim * qd)
         qd_new = qd + h * qacc
         q_new = integrate_qpos(model, q, qd_new, h)
