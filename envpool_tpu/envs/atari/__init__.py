@@ -17,17 +17,31 @@ from .breakout import BreakoutEnv
 from .freeway import FreewayEnv
 from .pong import PongEnv
 from .space_invaders import SpaceInvadersEnv
+from .wave3_games import (
+    BeamRiderEnv,
+    CrazyClimberEnv,
+    FrostbiteEnv,
+    MsPacmanEnv,
+    QbertEnv,
+    RiverraidEnv,
+)
 
 __all__ = [
     "ArcadeEnv",
     "ArcadeGame",
     "AsterixEnv",
+    "BeamRiderEnv",
     "BowlingEnv",
     "BoxingEnv",
     "BreakoutEnv",
+    "CrazyClimberEnv",
     "EnduroEnv",
     "FreewayEnv",
+    "FrostbiteEnv",
+    "MsPacmanEnv",
     "PongEnv",
+    "QbertEnv",
+    "RiverraidEnv",
     "SeaquestEnv",
     "SkiingEnv",
     "SpaceInvadersEnv",

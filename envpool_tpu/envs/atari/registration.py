@@ -66,3 +66,20 @@ for _task_id, _cls, _task in (
         max_episode_steps=27000,
         task=_task,
     )
+
+# Arcade wave 3 (wave3_games.py).
+for _task_id, _cls, _task in (
+    ("QbertLite-v5", "QbertEnv", "qbert"),
+    ("MsPacmanLite-v5", "MsPacmanEnv", "ms_pacman"),
+    ("BeamRiderLite-v5", "BeamRiderEnv", "beam_rider"),
+    ("FrostbiteLite-v5", "FrostbiteEnv", "frostbite"),
+    ("RiverraidLite-v5", "RiverraidEnv", "riverraid"),
+    ("CrazyClimberLite-v5", "CrazyClimberEnv", "crazy_climber"),
+):
+    register(
+        task_id=_task_id,
+        import_path=_PATH,
+        env_cls=_cls,
+        max_episode_steps=27000,
+        task=_task,
+    )

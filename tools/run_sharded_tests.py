@@ -47,6 +47,7 @@ WEIGHTS = {
     "test_pixels.py": 40,
     "test_sparrow_mahjong.py": 40,
     "test_atari_wave2.py": 30,
+    "test_atari_wave3.py": 30,
     "test_vizdoom.py": 45,
     "test_procgen.py": 40,
     "test_gfootball.py": 25,
