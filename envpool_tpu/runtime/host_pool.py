@@ -85,7 +85,27 @@ def _load():
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.exec_pop_error.restype = ctypes.c_int
+    lib.exec_pop_error.argtypes = [ctypes.c_void_p]
     return lib
+
+
+class HostEnvError(RuntimeError):
+    """One or more host envs raised inside the worker pool.
+
+    Carries the failing env ids and their formatted tracebacks.  The
+    executor converts a failed step into a zeroed terminal row so the
+    batch still completes (no hung ``recv``); the wrapper then raises
+    this on the next ``recv``.
+    """
+
+    def __init__(self, failures: dict[int, str]):
+        self.failures = failures
+        ids = sorted(failures)
+        detail = "\n".join(f"[env {i}]\n{failures[i]}" for i in ids)
+        super().__init__(
+            f"host env(s) {ids} raised during step/reset:\n{detail}"
+        )
 
 
 class HostAsyncPool:
@@ -107,7 +127,24 @@ class HostAsyncPool:
         self.batch_size = batch_size or num_envs
         self.state_dim = state_dim
         self.action_dim = action_dim
-        self._cb = STEP_FN(step_fn) if step_fn else STEP_FN()
+        # Exceptions raised by a Python step_fn inside a worker cannot
+        # propagate through the C ABI; trap them, store the traceback,
+        # and signal the executor with a negative return (failure
+        # detection — raised as HostEnvError on the next recv).
+        self._tracebacks: dict[int, str] = {}
+        if step_fn is not None:
+            import traceback as _tb
+
+            def _guarded(ctx, env_id, reset, act, state):
+                try:
+                    return int(step_fn(ctx, env_id, reset, act, state))
+                except Exception:
+                    self._tracebacks[int(env_id)] = _tb.format_exc()
+                    return -1
+
+            self._cb = STEP_FN(_guarded)
+        else:
+            self._cb = STEP_FN()
         self._h = self._lib.exec_create(
             num_envs,
             self.batch_size,
@@ -167,7 +204,20 @@ class HostAsyncPool:
             # Rows arrive in completion order; restore env order.
             order = np.argsort(env_ids)
             states, env_ids, dones = states[order], env_ids[order], dones[order]
+        self._raise_pending_errors()
         return states, env_ids, dones.astype(bool)
+
+    def _raise_pending_errors(self) -> None:
+        failures: dict[int, str] = {}
+        while True:
+            eid = self._lib.exec_pop_error(self._h)
+            if eid < 0:
+                break
+            failures[eid] = self._tracebacks.pop(
+                eid, "(no traceback captured)"
+            )
+        if failures:
+            raise HostEnvError(failures)
 
     def reset(self):
         self.send(

@@ -201,8 +201,21 @@ class AsyncExecutor {
       const float* act = &actions_[static_cast<size_t>(s.env_id) * action_dim_];
       if (step_fn_ != nullptr) {
         int reset = s.force_reset ? 1 : 0;
-        done_flag = static_cast<uint8_t>(
-            step_fn_(ctx_, s.env_id, reset, act, row.data()));
+        int rc = step_fn_(ctx_, s.env_id, reset, act, row.data());
+        if (rc < 0) {
+          // Failure detection: a crashing env must not hang recv (the
+          // reference has no story here — a crashed env kills the
+          // process, async_envpool.h worker loop).  Record the failed
+          // env, emit a zeroed terminal row so the batch completes, and
+          // let the wrapper surface the error on the next recv.
+          {
+            std::lock_guard<std::mutex> lk(recv_mu_);
+            errors_.push_back(s.env_id);
+          }
+          std::fill(row.begin(), row.end(), 0.0F);
+          rc = 1;
+        }
+        done_flag = static_cast<uint8_t>(rc);
       } else {
         auto& env = builtin_[s.env_id];
         bool reset = s.force_reset || env.done;
@@ -257,6 +270,18 @@ class AsyncExecutor {
     return b;
   }
 
+ public:
+  // Pops one recorded env failure; returns the env_id or -1 when none.
+  int PopError() {
+    std::lock_guard<std::mutex> lk(recv_mu_);
+    if (errors_.empty()) return -1;
+    int eid = errors_.front();
+    errors_.pop_front();
+    return eid;
+  }
+
+ private:
+  std::deque<int> errors_;
   std::vector<float> actions_;
   std::vector<BuiltinCartPole> builtin_;
   ActionQueue queue_;
@@ -290,6 +315,10 @@ void exec_send(void* h, const int* env_ids, const float* actions, int n,
 
 int exec_recv(void* h, float* states, int* env_ids, uint8_t* dones) {
   return static_cast<AsyncExecutor*>(h)->Recv(states, env_ids, dones);
+}
+
+int exec_pop_error(void* h) {
+  return static_cast<AsyncExecutor*>(h)->PopError();
 }
 
 }  // extern "C"

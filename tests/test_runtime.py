@@ -105,3 +105,29 @@ def test_custom_step_fn_callback() -> None:
         np.testing.assert_allclose(states[:, 0], [10, 11, 12, 13])
     finally:
         pool.close()
+
+
+def test_host_env_error_reporting() -> None:
+    """A crashing env surfaces as HostEnvError (with traceback), does not
+    hang recv, and leaves the pool usable."""
+    from envpool_tpu.runtime.host_pool import HostEnvError
+
+    def bad_step(ctx, env_id, reset, act, state):
+        if env_id == 2 and not reset:
+            raise ValueError("exploded")
+        for i in range(5):
+            state[i] = float(env_id)
+        return 0
+
+    pool = HostAsyncPool(num_envs=4, batch_size=4, step_fn=bad_step)
+    try:
+        pool.reset()
+        with pytest.raises(HostEnvError) as ei:
+            pool.step(np.zeros((4, 1), np.float32))
+        assert 2 in ei.value.failures
+        assert "exploded" in ei.value.failures[2]
+        # executor still alive: full reset + step round-trips
+        states, ids, dones = pool.reset()
+        assert states.shape == (4, 5)
+    finally:
+        pool.close()
