@@ -9,9 +9,11 @@ rooms of ``room_size``; doors sit on shared walls; missions are
 Documented deviations from BabyAI generation (behavior-level, not
 observation-level — the obs encoding is exact):
 
-* Door topology: a door on EVERY adjacent-room wall (BabyAI's
-  ``connect_all`` builds a random spanning tree plus extras).  Positions
-  along each wall and all colors stay random.
+* Door topology now MATCHES BabyAI's ``connect_all``: a random
+  add-doors-until-connected process (≈ random spanning tree plus
+  extras), run as a fixed-iteration masked scan
+  (``_connect_doors_mask``).  Positions along each wall and all colors
+  stay random.
 * ``loc`` descriptors ("on your left") match by type/color only.
 * Mission text is exposed as ``info:mission_id`` (packed descriptor ints)
   rather than tokenized bytes.
@@ -116,11 +118,67 @@ class RoomGridEnv(MiniGridEnv):
             x = c * (rs - 1) + 1 + jax.random.randint(key, (), 0, rs - 2)
         return x, jnp.asarray(y, jnp.int32)
 
-    def _add_all_doors(self, key, grid, open_=False, state=None):
-        """One door per internal wall; random positions and colors."""
+    def _connect_doors_mask(self, key):
+        """Which wall slots get a door: BabyAI's ``connect_all`` process.
+
+        BabyAI repeatedly picks a random room/wall and adds a door there
+        until every room is reachable (minigrid ``RoomGrid.connect_all``)
+        — a random graph process stopped at connectivity, i.e. roughly a
+        random spanning tree plus a few extras.  Same process here as a
+        fixed-iteration masked scan: each step picks a random slot and
+        opens it only while the room graph is still disconnected.
+        Connectivity via min-label propagation on the (≤3×3) room
+        lattice.  Replaces the earlier door-on-every-wall deviation.
+        """
+        slots = self._door_slots()
+        n = len(slots)
+        rooms = self._rows * self._cols
+        ea, eb = [], []
+        for r, c, horiz in slots:
+            ea.append(r * self._cols + c)
+            eb.append(r * self._cols + (c + 1) if horiz
+                      else (r + 1) * self._cols + c)
+        ea = jnp.asarray(ea)
+        eb = jnp.asarray(eb)
+        eye = jnp.eye(rooms, dtype=bool)
+
+        def connected(present):
+            A = jnp.zeros((rooms, rooms), bool)
+            A = A.at[ea, eb].max(present).at[eb, ea].max(present) | eye
+            lab = jnp.arange(rooms)
+            for _ in range(rooms):
+                lab = jnp.min(jnp.where(A, lab[None, :], rooms), axis=1)
+            return jnp.all(lab == 0)
+
+        def body(present, k):
+            j = jax.random.randint(k, (), 0, n)
+            done = connected(present)
+            present = present.at[j].set(present[j] | ~done)
+            return present, None
+
+        present, _ = jax.lax.scan(
+            body, jnp.zeros((n,), bool), jax.random.split(key, 4 * n)
+        )
+        # Vanishingly unlikely fallback: if 4n draws never connected the
+        # lattice, open every wall rather than ship an unsolvable level.
+        return jnp.where(connected(present), present, jnp.ones((n,), bool))
+
+    def _add_all_doors(self, key, grid, open_=False, state=None,
+                       connect=True):
+        """Doors on the ``connect_all`` slot subset (random pos/color).
+
+        Returns ``(grid, placed)`` with ``placed`` entries
+        ``(x, y, color, present)`` — ``present`` is traced; target
+        selection must sample present doors only (see ``_pick_door``).
+        """
         slots = self._door_slots()
         if not slots:
             return grid, []
+        kmask, key = jax.random.split(key)
+        if connect and len(slots) > 1:
+            present = self._connect_doors_mask(kmask)
+        else:
+            present = jnp.ones((len(slots),), bool)
         keys = jax.random.split(key, 2 * len(slots))
         st = mg.OPEN if open_ else mg.CLOSED
         if state is not None:
@@ -131,11 +189,19 @@ class RoomGridEnv(MiniGridEnv):
             color = jax.random.randint(keys[2 * i + 1], (), 0, 6).astype(
                 jnp.int8
             )
+            cell = jnp.stack([jnp.int8(mg.DOOR), color, jnp.int8(st)])
             grid = grid.at[y, x].set(
-                jnp.stack([jnp.int8(mg.DOOR), color, jnp.int8(st)])
+                jnp.where(present[i], cell, grid[y, x])
             )
-            placed.append((x, y, color))
+            placed.append((x, y, color, present[i]))
         return grid, placed
+
+    @staticmethod
+    def _pick_door(key, placed):
+        """Uniform index over the *present* doors in ``placed``."""
+        pres = jnp.stack([p for _, _, _, p in placed])
+        logits = jnp.where(pres, 0.0, -1e9)
+        return jax.random.categorical(key, logits)
 
     def _room_mask(self, room_r, room_c):
         """[H, W] bool mask of a room interior; traced indices allowed."""
@@ -597,8 +663,8 @@ class OpenMazeEnv(RoomGridEnv):
         ks = jax.random.split(key, 4)
         grid = self._grid_with_walls()
         grid, placed = self._add_all_doors(ks[0], grid)
-        di = jax.random.randint(ks[1], (), 0, len(placed))
-        colors = jnp.stack([c for _, _, c in placed])
+        di = self._pick_door(ks[1], placed)
+        colors = jnp.stack([c for _, _, c, _ in placed])
         c = colors[di].astype(jnp.int32)
         ax, ay = mg.place_random(ks[2], grid)
         d = jax.random.randint(ks[3], (), 0, 4, jnp.int32)
@@ -1043,14 +1109,14 @@ class SynthEnv(RoomGridEnv):
         grid, placed = self._add_all_doors(ks[0], grid)
         n = max(int(self.config["num_dists"]), 2)
         grid, types, colors = self._add_distractors(ks[1], grid, n)
-        door_colors = jnp.stack([c for _, _, c in placed])
+        door_colors = jnp.stack([c for _, _, c, _ in placed])
 
         def draw_instr(k):
             k1, k2, k3 = jax.random.split(k, 3)
             kind = jax.random.randint(k1, (), 0, 4)
             ia = jax.random.randint(k2, (), 0, n)
             ib = jnp.mod(ia + 1 + jax.random.randint(k3, (), 0, n - 1), n)
-            di = jax.random.randint(k2, (), 0, len(placed))
+            di = RoomGridEnv._pick_door(k2, placed)
             t = jnp.where(
                 kind == OPEN, mg.DOOR, types[ia].astype(jnp.int32)
             )

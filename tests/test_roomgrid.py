@@ -140,3 +140,36 @@ def test_mission_ids_stable_within_episode() -> None:
     for _ in range(3):
         obs, r, te, tr, info = env.step(np.zeros(2, np.int32))
         assert (info["mission_id"] == m0).all()
+
+
+def test_connect_all_door_topology():
+    """Doors follow BabyAI's connect_all: connected, but NOT on every
+    wall (a random spanning tree plus extras on a 3x3 lattice)."""
+    from collections import deque
+
+    from envpool_tpu.core.registry import registry
+
+    env = registry._env("BabyAI-GoTo-v0", num_envs=1)
+    counts = []
+    for seed in range(6):
+        st, _ = env.reset_env(jax.random.PRNGKey(seed))
+        grid = np.asarray(st["grid"])
+        counts.append(int((grid[:, :, 0] == mg.DOOR).sum()))
+        passable = grid[:, :, 0] != mg.WALL
+        start = tuple(np.argwhere(passable)[0])
+        seen = {start}
+        q = deque([start])
+        h, w = passable.shape
+        while q:
+            y, x = q.popleft()
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ny, nx = y + dy, x + dx
+                if (
+                    0 <= ny < h and 0 <= nx < w and passable[ny, nx]
+                    and (ny, nx) not in seen
+                ):
+                    seen.add((ny, nx))
+                    q.append((ny, nx))
+        assert len(seen) == passable.sum(), f"seed {seed} disconnected"
+    # spanning tree needs 8 doors on 3x3; all-walls would be 12 every time
+    assert min(counts) >= 8 and min(counts) < 12
