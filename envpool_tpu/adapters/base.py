@@ -47,6 +47,19 @@ class EnvPoolBase:
         self._numpy_output = bool(self._env.config.get("numpy_output", True))
         self._action_keys = list(self._env.action_spec().keys())
         self._state_keys = list(spec.state_array_spec.keys())
+        rec = str(
+            self._env.config.get("record_dir")
+            or self._env.config.get("lmp_save_dir")
+            or ""
+        )
+        if rec:
+            from .record import EpisodeRecorder
+
+            self._recorder = EpisodeRecorder(
+                rec, self.num_envs, self._env.seeds()
+            )
+        else:
+            self._recorder = None
 
     # -- properties mirroring EnvPoolMixin ---------------------------------
 
@@ -155,6 +168,11 @@ class EnvPoolBase:
         """Dispatch one (partial) step; non-blocking."""
         tree, env_id = self._from(action, env_id)
         self._check_action(tree, env_id)
+        if self._recorder is not None:
+            self._recorder.on_send(
+                self.all_env_ids if env_id is None else np.asarray(env_id),
+                tree,
+            )
         if env_id is None and not self.is_async:
             self._state, ts = self._engine.step(self._state, tree)
         else:
@@ -174,7 +192,12 @@ class EnvPoolBase:
                 "paired with a prior send)."
             )
         ts = self._recv_queue.popleft()
-        return self._to(self._materialize(ts), reset, return_info)
+        out = self._materialize(ts)
+        if self._recorder is not None:
+            self._recorder.on_recv(
+                np.asarray(out["info:env_id"]), np.asarray(out["done"])
+            )
+        return self._to(out, reset, return_info)
 
     def async_reset(self) -> None:
         """Reset all envs, delivering results in ``batch_size`` chunks."""

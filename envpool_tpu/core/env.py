@@ -62,6 +62,9 @@ COMMON_CONFIG: dict[str, Any] = {
     # envpool_tpu extension: optional jax.sharding.Sharding for the env
     # axis (see envpool_tpu.parallel).  None = single-device / default.
     "sharding": None,
+    # Per-episode demo recording (the .lmp analog, adapters/record.py):
+    # directory to write env_<id>_<episode>.npz action traces, "" = off.
+    "record_dir": "",
 }
 
 
