@@ -36,11 +36,12 @@ ATARI_BASELINE = 359_559.0  # EnvPool async Atari FPS, TPU-VM (BASELINE.md)
 CARTPOLE_BASELINE = 3_000_000.0  # BASELINE.json north star, env-steps/s
 
 
-def _bench(task: str, num_envs: int, steps: int, n_actions: int, reps: int = 3):
+def _bench(task: str, num_envs: int, steps: int, n_actions: int, reps: int = 3,
+           **kwargs):
     import envpool_tpu
     from envpool_tpu.core.engine import Engine
 
-    env = envpool_tpu.make_spec(task, num_envs=num_envs, seed=0).env
+    env = envpool_tpu.make_spec(task, num_envs=num_envs, seed=0, **kwargs).env
     engine = Engine.shared(env)
 
     def policy(ts, key):
@@ -137,5 +138,53 @@ def main() -> None:
     )
 
 
+def sweep() -> None:
+    """`bench.py --sweep`: num_envs scaling + per-family peaks (stderr).
+
+    The reference's benchmark sweeps num_envs/batch/threads per system
+    (``benchmark/test_envpool.py:25-48``); the TPU analog is a single
+    saturation axis — env-batch width — since there is no thread grid.
+    """
+    print("-- num_envs scaling (HalfCheetah-v4, steps/s) --", file=sys.stderr)
+    for n in (1024, 2048, 4096, 8192, 16384):
+        v = _bench_continuous("HalfCheetah-v4", n, 128, 6)
+        print(f"  {n:>6}: {v:>13,.0f}  ({v / n:,.0f} /env)", file=sys.stderr)
+    print("-- per-family peaks (steps/s) --", file=sys.stderr)
+    fams = [
+        ("CartPole-v1", "classic", 16384, 1024, 2, None),
+        ("FrozenLake8x8-v1", "toy_text", 16384, 512, 4, None),
+        ("PongLite-v5", "atari", 2048, 256, 6, None),
+        ("Ant-v4", "mujoco_gym", 8192, 128, None, 8),
+        ("CheetahRun-v1", "dmc", 4096, 128, None, 6),
+        ("MazeEasy-v0", "procgen", 2048, 128, 15, None),
+        ("Basic-v1", "vizdoom", 1024, 64, 6, None),
+        ("MiniGrid-Empty-8x8-v0", "minigrid", 8192, 256, 7, None),
+        ("TicTacToe-v1", "pgx", 8192, 256, 9, None),
+        ("highway-v0", "highway", 2048, 128, 5, None),
+    ]
+    import envpool_tpu
+
+    ids = set(envpool_tpu.list_all_envs())
+    for task, fam, n, steps, n_act, act_dim in fams:
+        if task not in ids:
+            print(f"  {fam:<12} {task}: (not registered)", file=sys.stderr)
+            continue
+        try:
+            kw = {"use_combined_action": True} if fam == "vizdoom" else {}
+            if act_dim is None:
+                v = _bench(task, n, steps, n_act, reps=2, **kw)
+            else:
+                v = _bench_continuous(task, n, steps, act_dim)
+            print(
+                f"  {fam:<12} {task:<24} n={n:<6} {v:>13,.0f}",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 — keep sweeping
+            print(f"  {fam:<12} {task}: FAILED {e}", file=sys.stderr)
+
+
 if __name__ == "__main__":
-    main()
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()

@@ -137,6 +137,8 @@ class FootballEnv(TpuEnv):
             "info:ball_owned_team": ArraySpec(jnp.int32, (), -1, 1),
             "info:ball_owned_player": ArraySpec(jnp.int32, (), -1, 10),
             "info:steps_left": ArraySpec(jnp.int32, ()),
+            "info:engine_seed": ArraySpec(jnp.int32, ()),
+            "info:episode_number": ArraySpec(jnp.int32, ()),
         }
 
     def action_spec(self):
@@ -184,6 +186,8 @@ class FootballEnv(TpuEnv):
             "info:ball_owned_player": st["owned_player"],
             "info:steps_left": jnp.int32(self.max_episode_steps)
             - st["t"],
+            "info:engine_seed": jnp.int32(int(self.config["seed"])),
+            "info:episode_number": st.get("ep", jnp.int32(0)),
         }
 
     def _kickoff(self, st):
@@ -212,9 +216,20 @@ class FootballEnv(TpuEnv):
             "score": jnp.zeros(2, jnp.int32),
             "sprint": jnp.bool_(False),
             "t": jnp.int32(0),
+            "ep": jnp.int32(0),
         }
         st = self._kickoff(st)
         return st, self._obs(st)
+
+    def reset_env_from(self, state, key, full):
+        # Keep the per-env episode counter across auto-resets
+        # (info:episode_number, gfootball_env.h:243).
+        st, obs = self.reset_env(key)
+        ep = state["ep"] + 1
+        st["ep"] = ep
+        obs = dict(obs)
+        obs["info:episode_number"] = ep
+        return st, obs
 
     def step_env(self, state, action, key):
         a = jnp.clip(jnp.reshape(action, ()).astype(jnp.int32), 0, 18)
@@ -365,6 +380,7 @@ class FootballEnv(TpuEnv):
             "score": score,
             "sprint": sprint,
             "t": st["t"] + 1,
+            "ep": st["ep"],
         }
         # Kickoff after a goal.
         scored = we_score | they_score
