@@ -25,11 +25,21 @@ from .wave3_games import (
     QbertEnv,
     RiverraidEnv,
 )
+from .wave4_games import (
+    AssaultEnv,
+    AtlantisEnv,
+    KangarooEnv,
+    RoadRunnerEnv,
+    TennisEnv,
+    UpNDownEnv,
+)
 
 __all__ = [
     "ArcadeEnv",
     "ArcadeGame",
+    "AssaultEnv",
     "AsterixEnv",
+    "AtlantisEnv",
     "BeamRiderEnv",
     "BowlingEnv",
     "BoxingEnv",
@@ -38,10 +48,14 @@ __all__ = [
     "EnduroEnv",
     "FreewayEnv",
     "FrostbiteEnv",
+    "KangarooEnv",
     "MsPacmanEnv",
     "PongEnv",
     "QbertEnv",
     "RiverraidEnv",
+    "RoadRunnerEnv",
+    "TennisEnv",
+    "UpNDownEnv",
     "SeaquestEnv",
     "SkiingEnv",
     "SpaceInvadersEnv",

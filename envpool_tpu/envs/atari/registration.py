@@ -75,6 +75,12 @@ for _task_id, _cls, _task in (
     ("FrostbiteLite-v5", "FrostbiteEnv", "frostbite"),
     ("RiverraidLite-v5", "RiverraidEnv", "riverraid"),
     ("CrazyClimberLite-v5", "CrazyClimberEnv", "crazy_climber"),
+    ("TennisLite-v5", "TennisEnv", "tennis"),
+    ("AssaultLite-v5", "AssaultEnv", "assault"),
+    ("AtlantisLite-v5", "AtlantisEnv", "atlantis"),
+    ("KangarooLite-v5", "KangarooEnv", "kangaroo"),
+    ("UpNDownLite-v5", "UpNDownEnv", "up_n_down"),
+    ("RoadRunnerLite-v5", "RoadRunnerEnv", "road_runner"),
 ):
     register(
         task_id=_task_id,

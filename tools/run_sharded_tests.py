@@ -48,6 +48,8 @@ WEIGHTS = {
     "test_sparrow_mahjong.py": 40,
     "test_atari_wave2.py": 30,
     "test_atari_wave3.py": 30,
+    "test_atari_wave4.py": 30,
+    "test_record.py": 20,
     "test_vizdoom.py": 45,
     "test_procgen.py": 40,
     "test_gfootball.py": 25,
