@@ -168,26 +168,31 @@ def render_frame(
     s_top = foot - spr_h
     cols = jnp.arange(W, dtype=jnp.float32)
 
-    in_x = jnp.abs(cols[None, :] - sx[:, None]) < half_w[:, None]   # [N, W]
-    ys = jnp.arange(H, dtype=jnp.float32)
-    in_y = (ys[None, :] >= s_top[:, None]) & (ys[None, :] <= foot[:, None])
-    front = depth_s[:, None] < dist[None, :]                   # [N, W]
-    cover = (
-        visible[:, None, None]
-        & in_y[:, :, None]
-        & (in_x & front)[:, None, :]
-    )                                                          # [N, H, W]
-    # nearest sprite wins: mask farther ones where a nearer covers
-    order_d = jnp.where(visible, depth_s, 1e9)
+    # Billboards are vertical rectangles, so occlusion resolves per
+    # COLUMN: find the nearest covering sprite per column ([N, W] work),
+    # then rasterize its vertical extent ([H, W] work) — instead of a
+    # [N, H, W] coverage tensor, which dominated the frame cost.
+    in_x = (
+        (jnp.abs(cols[None, :] - sx[:, None]) < half_w[:, None])
+        & visible[:, None]
+        & (depth_s[:, None] < dist[None, :])                   # wall depth
+    )                                                          # [N, W]
+    col_d = jnp.where(in_x, depth_s[:, None], 1e9)             # [N, W]
+    best = jnp.argmin(col_d, axis=0)                           # [W]
+    has = jnp.min(col_d, axis=0) < 1e9                         # [W]
     spr_rgb = jnp.asarray(_SPR_RGB)[spr_type] / (
         1.0 + 0.08 * depth_s[:, None]
     )                                                          # [N, 3]
-    eff_d = jnp.where(cover, order_d[:, None, None], 1e9)      # [N, H, W]
-    best = jnp.argmin(eff_d, axis=0)                           # [H, W]
-    any_cover = jnp.min(eff_d, axis=0) < 1e9
-    frame = jnp.where(
-        any_cover[..., None], spr_rgb[best], frame
-    )
+    top_c = s_top[best]                                        # [W]
+    foot_c = foot[best]
+    rgb_c = spr_rgb[best]                                      # [W, 3]
+    ys = jnp.arange(H, dtype=jnp.float32)
+    pix = (
+        has[None, :]
+        & (ys[:, None] >= top_c[None, :])
+        & (ys[:, None] <= foot_c[None, :])
+    )                                                          # [H, W]
+    frame = jnp.where(pix[..., None], rgb_c[None, :, :], frame)
 
     # --- weapon overlay + muzzle flash + hurt tint ---
     gx = jnp.arange(W, dtype=jnp.float32)[None, :]
