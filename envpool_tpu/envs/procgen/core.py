@@ -29,6 +29,86 @@ def decode_action(a):
     )
 
 
+_BANK_SIZE = 512
+_maze_banks: dict = {}
+
+
+def _np_maze(rng, n: int, extra_open: float):
+    """Host-side recursive backtracker (same topology as ``gen_maze``)."""
+    m = n // 2
+    walls = np.ones((n, n), bool)
+    visited = np.zeros((m, m), bool)
+    stack = [(0, 0)]
+    visited[0, 0] = True
+    walls[1, 1] = False
+    while stack:
+        ci, cj = stack[-1]
+        nbrs = []
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ni, nj = ci + di, cj + dj
+            if 0 <= ni < m and 0 <= nj < m and not visited[ni, nj]:
+                nbrs.append((ni, nj))
+        if not nbrs:
+            stack.pop()
+            continue
+        ni, nj = nbrs[rng.integers(len(nbrs))]
+        visited[ni, nj] = True
+        y0, x0 = 1 + 2 * ci, 1 + 2 * cj
+        y1, x1 = 1 + 2 * ni, 1 + 2 * nj
+        walls[(y0 + y1) // 2, (x0 + x1) // 2] = False
+        walls[y1, x1] = False
+        stack.append((ni, nj))
+    if extra_open > 0:
+        for y in range(1, n - 1):
+            for x in range(1, n - 1):
+                if (
+                    walls[y, x]
+                    and ((y % 2 == 1) != (x % 2 == 1))
+                    and rng.random() < extra_open
+                ):
+                    # knock only walls between two open cells
+                    if y % 2 == 1 and not walls[y, x - 1] and not walls[
+                        y, x + 1
+                    ]:
+                        walls[y, x] = False
+                    elif x % 2 == 1 and not walls[y - 1, x] and not walls[
+                        y + 1, x
+                    ]:
+                        walls[y, x] = False
+    return walls
+
+
+def maze_bank(n: int, extra_open: float = 0.0):
+    """[_BANK_SIZE, n, n] precomputed maze layouts (device constant).
+
+    The engine fuses auto-reset into every step (both branches +
+    select), so an on-device DFS generator runs per env per step and
+    dominated the grid games' step cost.  A host-generated bank makes
+    reset a single gather; layout diversity is _BANK_SIZE per
+    (size, mode) — entity/goal placement stays fully random per level,
+    and the deterministic level_seed → layout map is preserved.
+    """
+    key = (n, round(float(extra_open), 3))
+    if key not in _maze_banks:
+        rng = np.random.default_rng(0x9E3779B9 ^ (n * 1000 + int(
+            extra_open * 100
+        )))
+        bank = np.stack(
+            [_np_maze(rng, n, extra_open) for _ in range(_BANK_SIZE)]
+        )
+        # Cache NUMPY (not jnp): this may run inside a trace, and a
+        # traced constant must not leak into the module-level cache.
+        _maze_banks[key] = bank
+    return jnp.asarray(_maze_banks[key])
+
+
+def gen_maze_banked(key, n: int, extra_open: float = 0.0):
+    """Drop-in for ``gen_maze`` backed by the precomputed bank."""
+    bank = maze_bank(n, extra_open)
+    i = jax.random.randint(key, (), 0, bank.shape[0])
+    return bank[i]
+
+
 def gen_maze(key, n: int, extra_open: float = 0.0):
     """[n, n] wall bitmap: randomized DFS over odd cells (lax.scan).
 
@@ -112,9 +192,31 @@ def render_grid(cells_rgb, res: int = RES):
     return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
 
-def draw_disc(img, x, y, r, rgb):
-    """Draw a disc on [res, res, 3] float canvas (y up, pixel coords)."""
+def draw_disc(img, x, y, r, rgb, cond=None):
+    """Draw a disc on [res, res, 3] float canvas (y up, pixel coords).
+
+    Static small radii take a scatter fast path: a precomputed
+    (2R+1)² stamp written with ``mode="drop"`` — ~25 scatter points
+    instead of a full [RES, RES] mask per entity, which dominated the
+    scroll-game frame cost.  ``cond`` (traced bool) gates the draw by
+    pushing the indices out of bounds (dropped), avoiding a full-canvas
+    select per entity.  Traced radii fall back to the mask path.
+    """
+    if isinstance(r, (int, float)) and r <= 6:
+        R = int(np.ceil(r))
+        dy, dx = np.mgrid[-R:R + 1, -R:R + 1]
+        inside = (dy * dy + dx * dx) <= r * r
+        offs = np.stack([dy[inside], dx[inside]], 1)       # [K, 2]
+        yi = jnp.round(y).astype(jnp.int32) + jnp.asarray(offs[:, 0])
+        xi = jnp.round(x).astype(jnp.int32) + jnp.asarray(offs[:, 1])
+        if cond is not None:
+            yi = jnp.where(cond, yi, RES)                  # → dropped
+        return img.at[yi, xi, :].set(
+            jnp.asarray(rgb, jnp.float32), mode="drop"
+        )
     rows = jax.lax.broadcasted_iota(jnp.float32, (RES, RES), 0)
     cols = jax.lax.broadcasted_iota(jnp.float32, (RES, RES), 1)
     mask = (rows - y) ** 2 + (cols - x) ** 2 <= r * r
+    if cond is not None:
+        mask = mask & cond
     return jnp.where(mask[..., None], jnp.asarray(rgb, jnp.float32), img)

@@ -6,7 +6,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .core import RES, decode_action, gen_maze, render_grid
+from .core import RES, decode_action, gen_maze_banked as gen_maze, render_grid
 
 _WALL = np.asarray([60.0, 60.0, 60.0])
 _FLOOR = np.asarray([180.0, 170.0, 150.0])

@@ -89,12 +89,8 @@ class BigfishGame(_ScrollBase):
                 jnp.asarray([120.0, 220.0, 120.0]),
                 jnp.asarray([220.0, 80.0, 80.0]),
             )
-            img = jnp.where(
-                g["alive"][i],
-                draw_disc(img, g["ents"][i, 0], g["ents"][i, 1],
-                          g["ents"][i, 4], rgb),
-                img,
-            )
+            img = draw_disc(img, g["ents"][i, 0], g["ents"][i, 1],
+                          g["ents"][i, 4], rgb, cond=g["alive"][i])
         return jnp.clip(
             draw_disc(img, g["p"][0], g["p"][1], g["size"],
                       [240.0, 200.0, 60.0]),
@@ -151,18 +147,10 @@ class StarpilotGame(_ScrollBase):
     def render(self, g):
         img = jnp.full((RES, RES, 3), jnp.asarray([15.0, 15.0, 30.0]))
         for i in range(_NE):
-            img = jnp.where(
-                g["alive"][i],
-                draw_disc(img, g["ents"][i, 0], g["ents"][i, 1],
-                          g["ents"][i, 4], [200.0, 80.0, 200.0]),
-                img,
-            )
-        img = jnp.where(
-            g["bullet"][0] >= 0,
-            draw_disc(img, g["bullet"][0], g["bullet"][1], 1.2,
-                      [255.0, 255.0, 160.0]),
-            img,
-        )
+            img = draw_disc(img, g["ents"][i, 0], g["ents"][i, 1],
+                          g["ents"][i, 4], [200.0, 80.0, 200.0], cond=g["alive"][i])
+        img = draw_disc(img, g["bullet"][0], g["bullet"][1], 1.2,
+                      [255.0, 255.0, 160.0], cond=g["bullet"][0] >= 0)
         return jnp.clip(
             draw_disc(img, g["p"][0], g["p"][1], 2.2, [80.0, 180.0, 255.0]),
             0, 255,
@@ -228,11 +216,7 @@ class FruitbotGame(_ScrollBase):
                 jnp.asarray([230.0, 120.0, 60.0]),
                 jnp.asarray([100.0, 100.0, 110.0]),
             )
-            img = jnp.where(
-                g["alive"][i],
-                draw_disc(img, g["ents"][i, 0], g["ents"][i, 1], 2.0, rgb),
-                img,
-            )
+            img = draw_disc(img, g["ents"][i, 0], g["ents"][i, 1], 2.0, rgb, cond=g["alive"][i])
         return jnp.clip(
             draw_disc(img, g["p"][0], g["p"][1], 2.5, [120.0, 220.0, 120.0]),
             0, 255,
@@ -313,18 +297,10 @@ class DodgeballGame(_ScrollBase):
     def render(self, g):
         img = jnp.full((RES, RES, 3), jnp.asarray([50.0, 50.0, 60.0]))
         for i in range(_NE):
-            img = jnp.where(
-                g["alive"][i],
-                draw_disc(img, g["ents"][i, 0], g["ents"][i, 1], 2.0,
-                          [220.0, 90.0, 90.0]),
-                img,
-            )
-        img = jnp.where(
-            g["ball"][0] >= 0,
-            draw_disc(img, g["ball"][0], g["ball"][1], 1.3,
-                      [250.0, 250.0, 250.0]),
-            img,
-        )
+            img = draw_disc(img, g["ents"][i, 0], g["ents"][i, 1], 2.0,
+                          [220.0, 90.0, 90.0], cond=g["alive"][i])
+        img = draw_disc(img, g["ball"][0], g["ball"][1], 1.3,
+                      [250.0, 250.0, 250.0], cond=g["ball"][0] >= 0)
         return jnp.clip(
             draw_disc(img, g["p"][0], g["p"][1], 2.2, [90.0, 160.0, 250.0]),
             0, 255,
@@ -395,18 +371,10 @@ class BossfightGame(_ScrollBase):
         img = jnp.full((RES, RES, 3), jnp.asarray([20.0, 18.0, 35.0]))
         img = draw_disc(img, g["boss_x"], RES - 6.0, 5.0, [200.0, 60.0, 200.0])
         for i in range(_NE):
-            img = jnp.where(
-                g["shot_live"][i],
-                draw_disc(img, g["shots"][i, 0], g["shots"][i, 1], 1.4,
-                          [255.0, 120.0, 60.0]),
-                img,
-            )
-        img = jnp.where(
-            g["bullet"][0] >= 0,
-            draw_disc(img, g["bullet"][0], g["bullet"][1], 1.2,
-                      [160.0, 255.0, 160.0]),
-            img,
-        )
+            img = draw_disc(img, g["shots"][i, 0], g["shots"][i, 1], 1.4,
+                          [255.0, 120.0, 60.0], cond=g["shot_live"][i])
+        img = draw_disc(img, g["bullet"][0], g["bullet"][1], 1.2,
+                      [160.0, 255.0, 160.0], cond=g["bullet"][0] >= 0)
         return jnp.clip(
             draw_disc(img, g["p"][0], g["p"][1], 2.2, [90.0, 170.0, 255.0]),
             0, 255,
@@ -476,12 +444,8 @@ class CaveflyerGame(_ScrollBase):
             exit_band[..., None], jnp.asarray([240.0, 210.0, 60.0]), img
         )
         for i in range(_NE):
-            img = jnp.where(
-                g["alive"][i],
-                draw_disc(img, g["ents"][i, 0], g["ents"][i, 1],
-                          g["ents"][i, 4], [110.0, 100.0, 90.0]),
-                img,
-            )
+            img = draw_disc(img, g["ents"][i, 0], g["ents"][i, 1],
+                          g["ents"][i, 4], [110.0, 100.0, 90.0], cond=g["alive"][i])
         return jnp.clip(
             draw_disc(img, g["p"][0], g["p"][1], 2.0, [120.0, 220.0, 255.0]),
             0, 255,
@@ -550,17 +514,9 @@ class PlunderGame(_ScrollBase):
                 jnp.asarray([200.0, 70.0, 70.0]),
                 jnp.asarray([210.0, 210.0, 210.0]),
             )
-            img = jnp.where(
-                g["alive"][i],
-                draw_disc(img, g["ents"][i, 0], g["ents"][i, 1], 2.5, rgb),
-                img,
-            )
-        img = jnp.where(
-            g["bullet"][0] >= 0,
-            draw_disc(img, g["bullet"][0], g["bullet"][1], 1.2,
-                      [255.0, 240.0, 150.0]),
-            img,
-        )
+            img = draw_disc(img, g["ents"][i, 0], g["ents"][i, 1], 2.5, rgb, cond=g["alive"][i])
+        img = draw_disc(img, g["bullet"][0], g["bullet"][1], 1.2,
+                      [255.0, 240.0, 150.0], cond=g["bullet"][0] >= 0)
         return jnp.clip(
             draw_disc(img, g["p"][0], g["p"][1], 2.5, [240.0, 200.0, 80.0]),
             0, 255,
