@@ -33,6 +33,12 @@ from .wave4_games import (
     TennisEnv,
     UpNDownEnv,
 )
+from .wave5_games import (
+    BattleZoneEnv,
+    DoubleDunkEnv,
+    NameThisGameEnv,
+    PhoenixEnv,
+)
 
 __all__ = [
     "ArcadeEnv",
@@ -40,16 +46,20 @@ __all__ = [
     "AssaultEnv",
     "AsterixEnv",
     "AtlantisEnv",
+    "BattleZoneEnv",
     "BeamRiderEnv",
     "BowlingEnv",
     "BoxingEnv",
     "BreakoutEnv",
     "CrazyClimberEnv",
+    "DoubleDunkEnv",
     "EnduroEnv",
     "FreewayEnv",
     "FrostbiteEnv",
     "KangarooEnv",
     "MsPacmanEnv",
+    "NameThisGameEnv",
+    "PhoenixEnv",
     "PongEnv",
     "QbertEnv",
     "RiverraidEnv",

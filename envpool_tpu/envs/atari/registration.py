@@ -81,6 +81,10 @@ for _task_id, _cls, _task in (
     ("KangarooLite-v5", "KangarooEnv", "kangaroo"),
     ("UpNDownLite-v5", "UpNDownEnv", "up_n_down"),
     ("RoadRunnerLite-v5", "RoadRunnerEnv", "road_runner"),
+    ("BattleZoneLite-v5", "BattleZoneEnv", "battle_zone"),
+    ("DoubleDunkLite-v5", "DoubleDunkEnv", "double_dunk"),
+    ("NameThisGameLite-v5", "NameThisGameEnv", "name_this_game"),
+    ("PhoenixLite-v5", "PhoenixEnv", "phoenix"),
 ):
     register(
         task_id=_task_id,
