@@ -6,7 +6,7 @@ PYTHON ?= python
 # families — jumanji, highway, minigrid — dominate a serial run).
 SHARDS ?= 5
 
-.PHONY: test test-serial test-fast bench runtime lint wheel check-all
+.PHONY: test test-serial test-fast bench runtime lint wheel wheel-smoke check-all
 
 test:
 	$(PYTHON) tools/run_sharded_tests.py --shards $(SHARDS)
@@ -35,5 +35,8 @@ lint:
 
 wheel:
 	$(PYTHON) -m pip wheel . --no-deps -w dist --no-build-isolation
+
+wheel-smoke:
+	$(PYTHON) tools/wheel_smoke.py
 
 check-all: lint test bench
