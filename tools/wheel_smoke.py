@@ -33,7 +33,10 @@ def main() -> int:
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = tmp
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # Force CPU: the install prefix replaces PYTHONPATH, so any site
+    # customization that registered an out-of-tree backend is gone, and
+    # an inherited JAX_PLATFORMS naming it would fail to initialize.
+    env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     code = f"""
 import envpool_tpu, numpy as np
