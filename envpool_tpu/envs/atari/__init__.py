@@ -39,8 +39,17 @@ from .wave5_games import (
     NameThisGameEnv,
     PhoenixEnv,
 )
+from .wave6_games import (
+    AmidarEnv,
+    ChopperCommandEnv,
+    DemonAttackEnv,
+    FishingDerbyEnv,
+    GopherEnv,
+    IceHockeyEnv,
+)
 
 __all__ = [
+    "AmidarEnv",
     "ArcadeEnv",
     "ArcadeGame",
     "AssaultEnv",
@@ -51,11 +60,16 @@ __all__ = [
     "BowlingEnv",
     "BoxingEnv",
     "BreakoutEnv",
+    "ChopperCommandEnv",
+    "DemonAttackEnv",
     "CrazyClimberEnv",
     "DoubleDunkEnv",
     "EnduroEnv",
+    "FishingDerbyEnv",
     "FreewayEnv",
     "FrostbiteEnv",
+    "GopherEnv",
+    "IceHockeyEnv",
     "KangarooEnv",
     "MsPacmanEnv",
     "NameThisGameEnv",

@@ -85,6 +85,12 @@ for _task_id, _cls, _task in (
     ("DoubleDunkLite-v5", "DoubleDunkEnv", "double_dunk"),
     ("NameThisGameLite-v5", "NameThisGameEnv", "name_this_game"),
     ("PhoenixLite-v5", "PhoenixEnv", "phoenix"),
+    ("DemonAttackLite-v5", "DemonAttackEnv", "demon_attack"),
+    ("GopherLite-v5", "GopherEnv", "gopher"),
+    ("ChopperCommandLite-v5", "ChopperCommandEnv", "chopper_command"),
+    ("IceHockeyLite-v5", "IceHockeyEnv", "ice_hockey"),
+    ("FishingDerbyLite-v5", "FishingDerbyEnv", "fishing_derby"),
+    ("AmidarLite-v5", "AmidarEnv", "amidar"),
 ):
     register(
         task_id=_task_id,
