@@ -47,6 +47,14 @@ from .wave6_games import (
     GopherEnv,
     IceHockeyEnv,
 )
+from .wave7_games import (
+    BankHeistEnv,
+    JamesbondEnv,
+    StarGunnerEnv,
+    TimePilotEnv,
+    WizardOfWorEnv,
+    ZaxxonEnv,
+)
 
 __all__ = [
     "AmidarEnv",
@@ -55,6 +63,7 @@ __all__ = [
     "AssaultEnv",
     "AsterixEnv",
     "AtlantisEnv",
+    "BankHeistEnv",
     "BattleZoneEnv",
     "BeamRiderEnv",
     "BowlingEnv",
@@ -70,6 +79,7 @@ __all__ = [
     "FrostbiteEnv",
     "GopherEnv",
     "IceHockeyEnv",
+    "JamesbondEnv",
     "KangarooEnv",
     "MsPacmanEnv",
     "NameThisGameEnv",
@@ -80,7 +90,11 @@ __all__ = [
     "RoadRunnerEnv",
     "TennisEnv",
     "UpNDownEnv",
+    "WizardOfWorEnv",
+    "ZaxxonEnv",
     "SeaquestEnv",
     "SkiingEnv",
     "SpaceInvadersEnv",
+    "StarGunnerEnv",
+    "TimePilotEnv",
 ]

@@ -91,6 +91,12 @@ for _task_id, _cls, _task in (
     ("IceHockeyLite-v5", "IceHockeyEnv", "ice_hockey"),
     ("FishingDerbyLite-v5", "FishingDerbyEnv", "fishing_derby"),
     ("AmidarLite-v5", "AmidarEnv", "amidar"),
+    ("StarGunnerLite-v5", "StarGunnerEnv", "star_gunner"),
+    ("TimePilotLite-v5", "TimePilotEnv", "time_pilot"),
+    ("JamesbondLite-v5", "JamesbondEnv", "jamesbond"),
+    ("WizardOfWorLite-v5", "WizardOfWorEnv", "wizard_of_wor"),
+    ("ZaxxonLite-v5", "ZaxxonEnv", "zaxxon"),
+    ("BankHeistLite-v5", "BankHeistEnv", "bank_heist"),
 ):
     register(
         task_id=_task_id,
