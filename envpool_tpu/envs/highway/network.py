@@ -399,32 +399,39 @@ def collide(x, y, heading, vx, vy, length, width, dt, pair_mask):
     """
     v = x.shape[0]
     c, s = jnp.cos(heading), jnp.sin(heading)
-    center = jnp.stack([x, y], -1)
-    longi = jnp.stack([c, s], -1) * (length / 2.0)[:, None]
-    latr = jnp.stack([-s, c], -1) * (width / 2.0)[:, None]
-    corners = jnp.stack([
-        center - longi - latr, center - longi + latr,
-        center + longi + latr, center + longi - latr], 1)  # [V,4,2]
-    disp = jnp.stack([vx, vy], -1) * dt
-    dir_i = jnp.stack([c, s], -1)
-    perp_i = jnp.stack([-s, c], -1)
-    axes = jnp.stack([
-        jnp.broadcast_to(dir_i[:, None], (v, v, 2)),
-        jnp.broadcast_to(perp_i[:, None], (v, v, 2)),
-        jnp.broadcast_to(dir_i[None, :], (v, v, 2)),
-        jnp.broadcast_to(perp_i[None, :], (v, v, 2))], 2)
-    proj_i = jnp.einsum("ikd,ijad->ijak", corners, axes)
-    proj_j = jnp.einsum("jkd,ijad->ijak", corners, axes)
-    a_low, a_high = proj_i.min(-1), proj_i.max(-1)
-    b_low, b_high = proj_j.min(-1), proj_j.max(-1)
-    vp = jnp.einsum("ijad,ijd->ija", axes, disp[:, None] - disp[None, :])
-    a_low2 = a_low + jnp.minimum(vp, 0.0)
-    a_high2 = a_high + jnp.maximum(vp, 0.0)
-    dist_dyn = jnp.where(a_low2 < b_low, b_low - a_high2, a_low2 - b_high)
-    will_intersect = (dist_dyn <= 0.0).all(-1)
+    hl, hw = length / 2.0, width / 2.0          # [V] per-row half-dims
+    dispx, dispy = vx * dt, vy * dt
+    # Closed-form OBB SAT (projection radii, no corner enumeration):
+    # the corner-projection einsums materialized [B,V,V,4,4] tensors and
+    # dominated TPU step time (see straight.py::_collide).
+    dxm = x[None, :] - x[:, None]
+    dym = y[None, :] - y[:, None]
+    ddx = dispx[:, None] - dispx[None, :]
+    ddy = dispy[:, None] - dispy[None, :]
+    ci, si = c[:, None], s[:, None]
+    cj, sj = c[None, :], s[None, :]
+    acosd = jnp.abs(ci * cj + si * sj)
+    asind = jnp.abs(si * cj - ci * sj)
+    hli, hwi = hl[:, None], hw[:, None]
+    hlj, hwj = hl[None, :], hw[None, :]
+    axes_list = (
+        (ci, si, hli, hlj * acosd + hwj * asind),   # dir_i
+        (-si, ci, hwi, hlj * asind + hwj * acosd),  # perp_i
+        (cj, sj, hli * acosd + hwi * asind, hlj),   # dir_j
+        (-sj, cj, hli * asind + hwi * acosd, hwj),  # perp_j
+    )
+    will_intersect = jnp.ones((v, v), bool)
+    for ux, uy, ri, rj in axes_list:
+        p = ux * dxm + uy * dym
+        vp = ux * ddx + uy * ddy
+        al = -ri + jnp.minimum(vp, 0.0)
+        ah = ri + jnp.maximum(vp, 0.0)
+        dist_dyn = jnp.where(al < p - rj, p - rj - ah, al - (p + rj))
+        will_intersect = will_intersect & (dist_dyn <= 0.0)
     diag = jnp.sqrt(length**2 + width**2)
-    near = (jnp.linalg.norm(center[:, None] - center[None, :], axis=-1)
+    dist_centers = jnp.sqrt(dxm**2 + dym**2)
+    near = (dist_centers
             <= (diag[:, None] + diag[None, :]) / 2.0
-            + jnp.linalg.norm(disp, axis=-1)[:, None] + 1.0)
+            + jnp.sqrt(dispx**2 + dispy**2)[:, None] + 1.0)
     pair = pair_mask & ~jnp.eye(v, dtype=bool) & near
     return (pair & will_intersect).any(1)

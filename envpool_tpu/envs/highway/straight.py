@@ -130,6 +130,18 @@ def _idm_acc(
     return jnp.where(ego_valid, acc, 0.0)
 
 
+
+def _take(arr, idx):
+    """``arr[idx]`` via one-hot contraction.
+
+    Batched per-row gathers ([B,V] indices into [B,V] values under the
+    pool vmap) lower to per-element dynamic-slices on TPU and cost ~1 ms
+    each; the one-hot matvec runs on the MXU instead.
+    """
+    oh = jax.nn.one_hot(idx, arr.shape[0], dtype=arr.dtype)
+    return oh @ arr
+
+
 class HighwayEnv(TpuEnv):
     """highway-v0 / highway-fast-v0 (envpool/highway/highway_env.h:122-166)."""
 
@@ -283,9 +295,9 @@ class HighwayEnv(TpuEnv):
             st["heading"],
             st["x"],
             front_valid,
-            st["x"][front_idx],
-            vx[front_idx],
-            vy[front_idx],
+            _take(st["x"], front_idx),
+            _take(vx, front_idx),
+            _take(vy, front_idx),
         )
 
     def _idm_pair(self, st, delta, ego_idx, ego_valid, front_idx, front_valid):
@@ -294,16 +306,16 @@ class HighwayEnv(TpuEnv):
         return _idm_acc(
             delta,
             ego_valid,
-            st["speed"][ego_idx],
-            st["target_speed"][ego_idx],
-            vx[ego_idx],
-            vy[ego_idx],
-            st["heading"][ego_idx],
-            st["x"][ego_idx],
+            _take(st["speed"], ego_idx),
+            _take(st["target_speed"], ego_idx),
+            _take(vx, ego_idx),
+            _take(vy, ego_idx),
+            _take(st["heading"], ego_idx),
+            _take(st["x"], ego_idx),
             front_valid,
-            st["x"][front_idx],
-            vx[front_idx],
-            vy[front_idx],
+            _take(st["x"], front_idx),
+            _take(vx, front_idx),
+            _take(vy, front_idx),
         )
 
     def _mobil(self, st, cand_lane, lane):
@@ -405,69 +417,70 @@ class HighwayEnv(TpuEnv):
         x, y, heading = st["x"], st["y"], st["heading"]
         v = x.shape[0]
         c, s = jnp.cos(heading), jnp.sin(heading)
-        center = jnp.stack([x, y], axis=-1)  # [V,2]
-        longi = jnp.stack([c, s], axis=-1) * (_LENGTH / 2.0)
-        latr = jnp.stack([-s, c], axis=-1) * (_WIDTH / 2.0)
-        corners = jnp.stack(
-            [
-                center - longi - latr,
-                center - longi + latr,
-                center + longi + latr,
-                center + longi - latr,
-            ],
-            axis=1,
-        )  # [V,4,2]
-        disp = (
-            jnp.stack([self._vx(st), self._vy(st)], axis=-1) * dt
-        )  # [V,2]
+        hl, hw = _LENGTH / 2.0, _WIDTH / 2.0
+        dispx = self._vx(st) * dt
+        dispy = self._vy(st) * dt
 
-        # Axes per pair (i,j): i's normals and j's normals. [V,V,4,2]
-        dir_i = jnp.stack([c, s], axis=-1)
-        perp_i = jnp.stack([-s, c], axis=-1)
-        axes = jnp.stack(
-            [
-                jnp.broadcast_to(dir_i[:, None], (v, v, 2)),
-                jnp.broadcast_to(perp_i[:, None], (v, v, 2)),
-                jnp.broadcast_to(dir_i[None, :], (v, v, 2)),
-                jnp.broadcast_to(perp_i[None, :], (v, v, 2)),
-            ],
-            axis=2,
+        # Closed-form OBB SAT: a rectangle's projection interval on a unit
+        # axis u is center·u ± r(u), r(u) = hl·|dir·u| + hw·|perp·u| — no
+        # corner enumeration.  The earlier corner-projection einsums
+        # materialized [B,V,V,4,4] tensors (~330 MB each at B=2048) and
+        # made this call 87% of the TPU step time; everything here is
+        # [V,V] per axis with the 4 axes in a static python loop.
+        dxm = x[None, :] - x[:, None]          # center_j − center_i
+        dym = y[None, :] - y[:, None]
+        ddx = dispx[:, None] - dispx[None, :]  # disp_i − disp_j
+        ddy = dispy[:, None] - dispy[None, :]
+        ci, si = c[:, None], s[:, None]
+        cj, sj = c[None, :], s[None, :]
+        acosd = jnp.abs(ci * cj + si * sj)     # |cos(h_i − h_j)|
+        asind = jnp.abs(si * cj - ci * sj)
+        r_mixed_l = hl * acosd + hw * asind    # other-rect radius on a dir
+        r_mixed_w = hl * asind + hw * acosd    # … on a perp
+        # (axis ux, axis uy, r_i, r_j) per separating axis
+        axes_list = (
+            (ci, si, hl, r_mixed_l),           # dir_i
+            (-si, ci, hw, r_mixed_w),          # perp_i
+            (cj, sj, r_mixed_l, hl),           # dir_j
+            (-sj, cj, r_mixed_w, hw),          # perp_j
         )
-
-        # Projections of i's and j's corners on each axis: [V,V,4(axis),4(corner)]
-        proj_i = jnp.einsum("ikd,ijad->ijak", corners, axes)
-        proj_j = jnp.einsum("jkd,ijad->ijak", corners, axes)
-        a_low, a_high = proj_i.min(-1), proj_i.max(-1)
-        b_low, b_high = proj_j.min(-1), proj_j.max(-1)
 
         def interval_distance(al, ah, bl, bh):
             return jnp.where(al < bl, bl - ah, al - bh)
 
-        dist_static = interval_distance(a_low, a_high, b_low, b_high)
-        intersecting = (dist_static <= 0.0).all(-1)
+        # Tournament min over the 4 axes — branchless wheres instead of
+        # argmin + take_along_axis (batched last-axis gathers lower to
+        # per-element dynamic-slices on TPU and cost ~10ms each here).
+        intersecting = jnp.ones((v, v), bool)
+        will_intersect = jnp.ones((v, v), bool)
+        min_dist = jnp.full((v, v), jnp.inf)
+        bux = jnp.zeros((v, v))
+        buy = jnp.zeros((v, v))
+        for ux, uy, ri, rj in axes_list:
+            p = ux * dxm + uy * dym            # Δcenter·u  [V,V]
+            vp = ux * ddx + uy * ddy           # rel-disp·u
+            ds = interval_distance(-ri, ri, p - rj, p + rj)
+            dd = interval_distance(
+                -ri + jnp.minimum(vp, 0.0), ri + jnp.maximum(vp, 0.0),
+                p - rj, p + rj,
+            )
+            intersecting = intersecting & (ds <= 0.0)
+            will_intersect = will_intersect & (dd <= 0.0)
+            ad = jnp.abs(dd)
+            better = ad < min_dist
+            min_dist = jnp.where(better, ad, min_dist)
+            bux = jnp.where(better, jnp.broadcast_to(ux, ad.shape), bux)
+            buy = jnp.where(better, jnp.broadcast_to(uy, ad.shape), buy)
 
-        vp = jnp.einsum(
-            "ijad,ijd->ija", axes, disp[:, None] - disp[None, :]
-        )
-        a_low2 = a_low + jnp.minimum(vp, 0.0)
-        a_high2 = a_high + jnp.maximum(vp, 0.0)
-        dist_dyn = interval_distance(a_low2, a_high2, b_low, b_high)
-        will_intersect = (dist_dyn <= 0.0).all(-1)
-
-        # Minimum-translation axis over the 4 axes (sign toward i).
-        abs_dist = jnp.abs(dist_dyn)
-        best = jnp.argmin(abs_dist, axis=-1)  # [V,V]
-        min_dist = jnp.take_along_axis(abs_dist, best[..., None], -1)[..., 0]
-        best_axis = jnp.take_along_axis(
-            axes, best[..., None, None], 2
-        )[:, :, 0, :]
-        center_delta = center[:, None] - center[None, :]
-        sign = jnp.where(
-            jnp.einsum("ijd,ijd->ij", center_delta, best_axis) > 0.0, 1.0, -1.0
-        )
-        translation = (
-            sign[..., None] * min_dist[..., None] * best_axis
+        # Minimum-translation vector (sign toward i):
+        # center_delta·u = (c_i − c_j)·u = −(Δcenter·u).
+        pbest = bux * dxm + buy * dym
+        sign = jnp.where(-pbest > 0.0, 1.0, -1.0)
+        translation = jnp.stack(
+            [sign * min_dist * bux, sign * min_dist * buy], -1
         )  # [V,V,2] toward i
+        center_delta = jnp.stack([-dxm, -dym], -1)
+        disp = jnp.stack([dispx, dispy], axis=-1)
 
         # Early-distance cull (highway_env.cc:362-374).
         dist_centers = jnp.linalg.norm(center_delta, axis=-1)
@@ -477,11 +490,13 @@ class HighwayEnv(TpuEnv):
         pair = check_mask & ~jnp.eye(v, dtype=bool) & near
         hit = pair & will_intersect
         crashed_now = (pair & intersecting).any(1)
-        jpick = jnp.argmax(hit, axis=1)
         has_impact = hit.any(axis=1)
-        impact = 0.5 * jnp.take_along_axis(
-            translation, jpick[:, None, None], 1
-        )[:, 0, :]
+        # First hitting j per row via a mask + reduce (no row gather —
+        # same TPU dynamic-slice pathology as above).
+        first_hit = hit & (jnp.cumsum(hit, axis=1) == 1)
+        impact = 0.5 * jnp.sum(
+            jnp.where(first_hit[..., None], translation, 0.0), axis=1
+        )
         impact = jnp.where(has_impact[:, None], impact, 0.0)
         return crashed_now, has_impact, impact
 
