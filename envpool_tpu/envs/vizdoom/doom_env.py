@@ -187,7 +187,11 @@ class DoomEnv(TpuEnv):
     def _cell_free(self, x, y):
         ix = jnp.clip(x.astype(jnp.int32), 0, self.g_size - 1)
         iy = jnp.clip(y.astype(jnp.int32), 0, self.g_size - 1)
-        return self.walls[iy, ix] == 0
+        if getattr(ix, "ndim", 0) == 0:
+            return self.walls[iy, ix] == 0      # scalar: cheap slice
+        from .raycast import grid_lookup
+
+        return grid_lookup(self.walls, iy, ix) == 0
 
     def _pos_free(self, x, y, r=_RADIUS):
         ok = jnp.bool_(True)

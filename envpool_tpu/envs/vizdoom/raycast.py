@@ -60,6 +60,21 @@ _SPR_HEIGHT = np.asarray(
 )
 
 
+def grid_lookup(walls, iy, ix):
+    """``walls[iy, ix]`` for vector indices via one-hot contraction.
+
+    Batched vector-index gathers lower to per-element dynamic-slices on
+    TPU (~1 ms each under the pool vmap — see the highway fix); two
+    small one-hot matmuls hit the MXU instead.
+    """
+    g = walls.shape[0]
+    ohy = jax.nn.one_hot(iy, g, dtype=jnp.float32)      # [W, G]
+    ohx = jax.nn.one_hot(ix, g, dtype=jnp.float32)
+    return jnp.einsum(
+        "wg,gh,wh->w", ohy, walls.astype(jnp.float32), ohx
+    )
+
+
 def cast_rays(walls, px, py, ang):
     """Per-column wall hit: → (dist[W], wtype[W], side[W]).
 
@@ -90,7 +105,7 @@ def cast_rays(walls, px, py, ang):
         n_side = jnp.where(hit, side, jnp.where(go_x, 0.0, 1.0))
         ix = jnp.clip(n_mapx.astype(jnp.int32), 0, g - 1)
         iy = jnp.clip(n_mapy.astype(jnp.int32), 0, g - 1)
-        cell = walls[iy, ix].astype(jnp.float32)
+        cell = grid_lookup(walls, iy, ix)
         n_wtype = jnp.where(hit, wtype, cell)
         n_hit = hit | (cell > 0)
         return (n_mapx, n_mapy, n_sdx, n_sdy, n_side, n_hit, n_wtype), None
@@ -130,7 +145,10 @@ def render_frame(
     bot = (H + line_h) / 2.0
     is_wall = (rows >= top[None, :]) & (rows < bot[None, :])  # [H, W]
 
-    base = jnp.asarray(_WALL_RGB)[jnp.clip(wtype.astype(jnp.int32), 0, 5)]
+    # palette lookup as a one-hot matmul (vector gathers are slow on TPU)
+    base = jax.nn.one_hot(
+        jnp.clip(wtype.astype(jnp.int32), 0, 5), 6
+    ) @ jnp.asarray(_WALL_RGB)                                # [W, 3]
     shade = jnp.where(side == 1, 0.72, 1.0) / (1.0 + 0.10 * dist)
     wall_rgb = base * shade[:, None]                          # [W, 3]
 
@@ -160,8 +178,9 @@ def render_frame(
     visible = spr_alive & (depth > 0.15)
     depth_s = jnp.maximum(depth, 0.15)
     sx = (lat / (depth_s * jnp.tan(FOV / 2))) * (W / 2) + W / 2
-    rad = jnp.asarray(_SPR_RADIUS)[spr_type]
-    hgt = jnp.asarray(_SPR_HEIGHT)[spr_type]
+    type_oh = jax.nn.one_hot(spr_type, len(_SPR_RADIUS))       # [N, 7]
+    rad = type_oh @ jnp.asarray(_SPR_RADIUS)
+    hgt = type_oh @ jnp.asarray(_SPR_HEIGHT)
     half_w = (rad / depth_s) * (W / 2) / jnp.tan(FOV / 2)
     spr_h = (hgt / depth_s) * H
     foot = H / 2 + (H / 2) / depth_s * 0.5                     # floor line
@@ -178,14 +197,23 @@ def render_frame(
         & (depth_s[:, None] < dist[None, :])                   # wall depth
     )                                                          # [N, W]
     col_d = jnp.where(in_x, depth_s[:, None], 1e9)             # [N, W]
-    best = jnp.argmin(col_d, axis=0)                           # [W]
-    has = jnp.min(col_d, axis=0) < 1e9                         # [W]
-    spr_rgb = jnp.asarray(_SPR_RGB)[spr_type] / (
+    # Nearest sprite per column by a where-tournament over N (static) —
+    # argmin + vector-index gathers are dynamic-slices on TPU.
+    spr_rgb = (type_oh @ jnp.asarray(_SPR_RGB)) / (
         1.0 + 0.08 * depth_s[:, None]
     )                                                          # [N, 3]
-    top_c = s_top[best]                                        # [W]
-    foot_c = foot[best]
-    rgb_c = spr_rgb[best]                                      # [W, 3]
+    best_d = jnp.full((W,), 1e9)
+    top_c = jnp.zeros((W,))
+    foot_c = jnp.zeros((W,))
+    rgb_c = jnp.zeros((W, 3))
+    n_spr = col_d.shape[0]
+    for i in range(n_spr):
+        better = col_d[i] < best_d
+        best_d = jnp.where(better, col_d[i], best_d)
+        top_c = jnp.where(better, s_top[i], top_c)
+        foot_c = jnp.where(better, foot[i], foot_c)
+        rgb_c = jnp.where(better[:, None], spr_rgb[i][None, :], rgb_c)
+    has = best_d < 1e9                                         # [W]
     ys = jnp.arange(H, dtype=jnp.float32)
     pix = (
         has[None, :]
