@@ -185,10 +185,18 @@ def gen_maze(key, n: int, extra_open: float = 0.0):
 
 
 def render_grid(cells_rgb, res: int = RES):
-    """[n, n, 3] float cell colors → [res, res, 3] uint8 (nearest)."""
+    """[n, n, 3] float cell colors → [res, res, 3] uint8 (nearest).
+
+    The nearest-neighbor upsample is two one-hot matmuls instead of a
+    [res, res]-index gather — vector-index gathers lower to per-element
+    dynamic-slices on TPU (see the highway/vizdoom perf notes).  The
+    one-hot matrices are compile-time constants.
+    """
     n = cells_rgb.shape[0]
-    idx = (jnp.arange(res) * n // res).astype(jnp.int32)
-    img = cells_rgb[idx[:, None], idx[None, :]]
+    idx = (np.arange(res) * n // res).astype(np.int32)
+    up = jnp.asarray(np.eye(n, dtype=np.float32)[idx])     # [res, n]
+    img = jnp.einsum("rn,nmc->rmc", up, cells_rgb)
+    img = jnp.einsum("sm,rmc->rsc", up, img)
     return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
 
