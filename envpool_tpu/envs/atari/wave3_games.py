@@ -251,7 +251,12 @@ class MsPacmanGame(ArcadeGame):
         def ghost_step(pos, k):
             cand = jnp.asarray([[-1, 0], [1, 0], [0, -1], [0, 1]])
             npos = pos[None, :] + cand
-            free = maze[npos[:, 0], npos[:, 1]] == 0
+            # one-hot contraction instead of a vector-index gather
+            ohy = jax.nn.one_hot(npos[:, 0], _MP_H)
+            ohx = jax.nn.one_hot(npos[:, 1], _MP_W)
+            free = jnp.einsum(
+                "ch,hw,cw->c", ohy, maze.astype(jnp.float32), ohx
+            ) == 0
             d = (
                 jnp.abs(npos[:, 0] - nr) + jnp.abs(npos[:, 1] - nc)
             ).astype(jnp.float32) * flee
@@ -305,12 +310,28 @@ class MsPacmanGame(ArcadeGame):
         ccc = jnp.clip(cc, 0, _MP_W - 1)
         wall = inside & (jnp.asarray(_MP_MAZE)[crc, ccc] == 1)
         frame = jnp.where(wall, 80.0, 20.0)
-        # pellets: small dots at cell centers
+        # pellets: small dots at cell centers.  The pellet-grid lookup
+        # is upsampled with constant one-hot matmuls — a [210,160]-index
+        # gather lowers to per-element dynamic-slices on TPU and
+        # dominated this core's step time.
         cyc = y0 + (crc + 0.5) * _MP_CELL
         cxc = x0 + (ccc + 0.5) * _MP_CELL
         near = (jnp.abs(rows - cyc) < 2) & (jnp.abs(cols - cxc) < 2)
+        ohr = jnp.asarray(
+            np.eye(_MP_H, dtype=np.float32)[
+                np.clip(((np.arange(RAW_H) - y0) / _MP_CELL).astype(int),
+                        0, _MP_H - 1)
+            ]
+        )                                                   # [210, H]
+        ohc = jnp.asarray(
+            np.eye(_MP_W, dtype=np.float32)[
+                np.clip(((np.arange(RAW_W) - x0) / _MP_CELL).astype(int),
+                        0, _MP_W - 1)
+            ]
+        )                                                   # [160, W]
+        pell_img = ohr @ g["pellets"].astype(jnp.float32) @ ohc.T
         frame = jnp.where(
-            inside & near & g["pellets"][crc, ccc], 180.0, frame
+            inside & near & (pell_img > 0.5), 180.0, frame
         )
         py = y0 + (g["pr"] + 0.5) * _MP_CELL
         px = x0 + (g["pc"] + 0.5) * _MP_CELL

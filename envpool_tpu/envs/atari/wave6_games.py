@@ -235,10 +235,12 @@ class GopherGame(ArcadeGame):
         ground = 140.0
         frame = jnp.where(rows < ground, 120.0, 80.0)  # sky / dirt
         colw = RAW_W / _GO_COLS
-        ccol = jnp.clip((cols / colw).astype(jnp.int32), 0, _GO_COLS - 1)
+        # per-pixel-column depth via repeat (no [H,W]-index gather —
+        # TPU dynamic-slice pathology)
+        depth_cols = jnp.repeat(g["depth"], RAW_W // _GO_COLS)
         tunnel = (
             (rows > ground)
-            & (rows < ground + g["depth"][ccol] * 18.0)
+            & (rows < ground + depth_cols[None, :] * 18.0)
             & (jnp.mod(cols, colw) > 4)
         )
         frame = jnp.where(tunnel, 30.0, frame)
