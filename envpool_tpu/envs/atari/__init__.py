@@ -55,8 +55,17 @@ from .wave7_games import (
     WizardOfWorEnv,
     ZaxxonEnv,
 )
+from .wave8_games import (
+    AlienEnv,
+    BerzerkEnv,
+    KaboomEnv,
+    KrullEnv,
+    PitfallEnv,
+    VentureEnv,
+)
 
 __all__ = [
+    "AlienEnv",
     "AmidarEnv",
     "ArcadeEnv",
     "ArcadeGame",
@@ -66,6 +75,7 @@ __all__ = [
     "BankHeistEnv",
     "BattleZoneEnv",
     "BeamRiderEnv",
+    "BerzerkEnv",
     "BowlingEnv",
     "BoxingEnv",
     "BreakoutEnv",
@@ -80,16 +90,20 @@ __all__ = [
     "GopherEnv",
     "IceHockeyEnv",
     "JamesbondEnv",
+    "KaboomEnv",
     "KangarooEnv",
+    "KrullEnv",
     "MsPacmanEnv",
     "NameThisGameEnv",
     "PhoenixEnv",
+    "PitfallEnv",
     "PongEnv",
     "QbertEnv",
     "RiverraidEnv",
     "RoadRunnerEnv",
     "TennisEnv",
     "UpNDownEnv",
+    "VentureEnv",
     "WizardOfWorEnv",
     "ZaxxonEnv",
     "SeaquestEnv",

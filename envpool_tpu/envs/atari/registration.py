@@ -97,6 +97,12 @@ for _task_id, _cls, _task in (
     ("WizardOfWorLite-v5", "WizardOfWorEnv", "wizard_of_wor"),
     ("ZaxxonLite-v5", "ZaxxonEnv", "zaxxon"),
     ("BankHeistLite-v5", "BankHeistEnv", "bank_heist"),
+    ("AlienLite-v5", "AlienEnv", "alien"),
+    ("BerzerkLite-v5", "BerzerkEnv", "berzerk"),
+    ("VentureLite-v5", "VentureEnv", "venture"),
+    ("KaboomLite-v5", "KaboomEnv", "kaboom"),
+    ("KrullLite-v5", "KrullEnv", "krull"),
+    ("PitfallLite-v5", "PitfallEnv", "pitfall"),
 ):
     register(
         task_id=_task_id,
