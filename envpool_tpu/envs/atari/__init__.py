@@ -63,6 +63,14 @@ from .wave8_games import (
     PitfallEnv,
     VentureEnv,
 )
+from .wave9_games import (
+    CarnivalEnv,
+    CentipedeEnv,
+    GravitarEnv,
+    HeroEnv,
+    MontezumaRevengeEnv,
+    PooyanEnv,
+)
 
 __all__ = [
     "AlienEnv",
@@ -79,6 +87,8 @@ __all__ = [
     "BowlingEnv",
     "BoxingEnv",
     "BreakoutEnv",
+    "CarnivalEnv",
+    "CentipedeEnv",
     "ChopperCommandEnv",
     "DemonAttackEnv",
     "CrazyClimberEnv",
@@ -88,15 +98,19 @@ __all__ = [
     "FreewayEnv",
     "FrostbiteEnv",
     "GopherEnv",
+    "GravitarEnv",
+    "HeroEnv",
     "IceHockeyEnv",
     "JamesbondEnv",
     "KaboomEnv",
     "KangarooEnv",
     "KrullEnv",
+    "MontezumaRevengeEnv",
     "MsPacmanEnv",
     "NameThisGameEnv",
     "PhoenixEnv",
     "PitfallEnv",
+    "PooyanEnv",
     "PongEnv",
     "QbertEnv",
     "RiverraidEnv",

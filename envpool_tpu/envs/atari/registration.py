@@ -103,6 +103,12 @@ for _task_id, _cls, _task in (
     ("KaboomLite-v5", "KaboomEnv", "kaboom"),
     ("KrullLite-v5", "KrullEnv", "krull"),
     ("PitfallLite-v5", "PitfallEnv", "pitfall"),
+    ("CentipedeLite-v5", "CentipedeEnv", "centipede"),
+    ("MontezumaRevengeLite-v5", "MontezumaRevengeEnv", "montezuma_revenge"),
+    ("HeroLite-v5", "HeroEnv", "hero"),
+    ("GravitarLite-v5", "GravitarEnv", "gravitar"),
+    ("PooyanLite-v5", "PooyanEnv", "pooyan"),
+    ("CarnivalLite-v5", "CarnivalEnv", "carnival"),
 ):
     register(
         task_id=_task_id,

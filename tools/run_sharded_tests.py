@@ -53,6 +53,7 @@ WEIGHTS = {
     "test_atari_wave6.py": 30,
     "test_atari_wave7.py": 35,
     "test_atari_wave8.py": 45,
+    "test_atari_wave9.py": 30,
     "test_record.py": 20,
     "test_learning.py": 20,
     "test_vizdoom.py": 45,
