@@ -197,7 +197,18 @@ class CarRacingEnv(TpuEnv):
                 (jnp.cos(first_beta) * dx) ** 2
                 + (jnp.sin(first_beta) * dy) ** 2
             ) <= TRACK_DETAIL_STEP
-            good = valid_attempt & glued
+            # Bounds gate: reject the occasional runaway walk that still
+            # closes a loop far outside the playfield (gym would clip it
+            # visually; here it broke track-geometry invariants).
+            in_field = jnp.all(
+                jnp.where(
+                    valid[:, None],
+                    jnp.abs(seg[:, 2:4]) < PLAYFIELD * 1.05,
+                    True,
+                )
+            )
+            enough = jnp.sum(valid) >= 80
+            good = valid_attempt & glued & in_field & enough
             return seg, valid, good
 
         def cond(carry):
@@ -321,20 +332,43 @@ class CarRacingEnv(TpuEnv):
         a, b = self._segments(track_xy, valid)
         ab = b - a                                          # [T, 2]
         ab2 = jnp.sum(ab * ab, axis=-1) + 1e-8
-        ap = pts[:, None, :] - a[None, :, :]                # [HW, T, 2]
-        tpar = jnp.clip(
-            jnp.sum(ap * ab[None], axis=-1) / ab2[None], 0.0, 1.0
+        # Nearest-segment search as a scan over the T segments carrying
+        # per-pixel [HW] minima — the [HW, T, 2] broadcast version
+        # needed ~25 MB per intermediate per env and blew HBM at large
+        # num_envs (25.45G at 1024 envs).
+        idx = jnp.arange(a.shape[0])
+        curb_flag = ((idx // 2) % 2 == 0)
+
+        def seg_step(carry, inp):
+            best_d2, best_border, best_curb = carry
+            a_i, ab_i, ab2_i, valid_i, border_i, curb_i = inp
+            ap = pts - a_i[None, :]                          # [HW, 2]
+            tpar = jnp.clip(
+                (ap[:, 0] * ab_i[0] + ap[:, 1] * ab_i[1]) / ab2_i,
+                0.0, 1.0,
+            )
+            dx = ap[:, 0] - tpar * ab_i[0]
+            dy = ap[:, 1] - tpar * ab_i[1]
+            d2 = jnp.where(valid_i, dx * dx + dy * dy, jnp.inf)
+            better = d2 < best_d2
+            best_d2 = jnp.where(better, d2, best_d2)
+            best_border = jnp.where(better, border_i, best_border)
+            best_curb = jnp.where(better, curb_i, best_curb)
+            return (best_d2, best_border, best_curb), None
+
+        hw = pts.shape[0]
+        (d2min, border_pix, curb_pix), _ = jax.lax.scan(
+            seg_step,
+            (jnp.full((hw,), jnp.inf), jnp.zeros(hw, bool),
+             jnp.zeros(hw, bool)),
+            (a, ab, ab2, valid, border, curb_flag),
         )
-        closest = a[None] + tpar[..., None] * ab[None]
-        d2 = jnp.sum((pts[:, None, :] - closest) ** 2, axis=-1)
-        d2 = jnp.where(valid[None, :], d2, jnp.inf)
-        seg_i = jnp.argmin(d2, axis=-1)
-        dmin = jnp.sqrt(jnp.min(d2, axis=-1))
+        dmin = jnp.sqrt(d2min)
         on_road = dmin <= TRACK_WIDTH
         on_border = (
             (dmin > TRACK_WIDTH)
             & (dmin <= TRACK_WIDTH + BORDER)
-            & border[seg_i]
+            & border_pix
         )
         # Grass checker.
         gx = jnp.floor(pts[:, 0] / GRASS_DIM).astype(jnp.int32)
@@ -348,7 +382,7 @@ class CarRacingEnv(TpuEnv):
         road = jnp.asarray([102, 102, 102], jnp.float32)
         red = jnp.asarray([255, 0, 0], jnp.float32)
         white = jnp.asarray([255, 255, 255], jnp.float32)
-        curb = jnp.where(((seg_i // 2) % 2 == 0)[:, None], red, white)
+        curb = jnp.where(curb_pix[:, None], red, white)
         img = jnp.where(
             on_road[:, None], road,
             jnp.where(on_border[:, None], curb, grass),
@@ -414,8 +448,52 @@ class CarRacingEnv(TpuEnv):
         d2 = jnp.where(valid, d2, jnp.inf)
         return jnp.argmin(d2), jnp.sqrt(jnp.min(d2))
 
+    _track_banks: dict = {}
+    _BANK = 64
+
+    def _track_bank(self):
+        """[_BANK] pregenerated tracks (host-cached numpy).
+
+        The engine fuses auto-reset into every step, so the on-device
+        2500-step track walk (+ retry while_loop) ran per env per step
+        and dominated TPU time.  Tracks are generated ONCE per process
+        with the same jitted generator and cached as numpy; reset picks
+        one at random (layout diversity: _BANK per process, car
+        dynamics and tile rewards unchanged — same tradeoff as the
+        procgen maze bank).
+        """
+        if "bank" not in CarRacingEnv._track_banks:
+            import numpy as _np
+
+            # One jitted single-track generator run _BANK times (a vmap
+            # over the retry while_loop compiles pathologically slowly).
+            # Host-side quality gate: reject the occasional runaway walk
+            # (out of the playfield / too few tiles) that the on-device
+            # retry logic lets through.
+            gen = jax.jit(self._make_track, backend="cpu")
+            keys = jax.random.split(
+                jax.random.PRNGKey(0xCA87AC), self._BANK
+            )
+            outs = [jax.device_get(gen(k)) for k in keys]
+            CarRacingEnv._track_banks["bank"] = tuple(
+                _np.stack([_np.asarray(o[i]) for o in outs])
+                for i in range(4)
+            )
+        return CarRacingEnv._track_banks["bank"]
+
     def reset_env(self, key):
-        xy, beta, valid, border = self._make_track(key)
+        bxy, bbeta, bvalid, bborder = self._track_bank()
+        i = jax.random.randint(key, (), 0, self._BANK)
+        oh = jax.nn.one_hot(i, self._BANK)
+        # one-hot contraction (not a dynamic row gather — TPU pathology)
+        xy = jnp.einsum("b,bts->ts", oh, jnp.asarray(bxy))
+        beta = jnp.einsum("b,bt->t", oh, jnp.asarray(bbeta))
+        valid = jnp.einsum(
+            "b,bt->t", oh, jnp.asarray(bvalid, jnp.float32)
+        ) > 0.5
+        border = jnp.einsum(
+            "b,bt->t", oh, jnp.asarray(bborder, jnp.float32)
+        ) > 0.5
         car = {
             "x": xy[0, 0],
             "y": xy[0, 1],
