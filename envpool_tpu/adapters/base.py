@@ -201,6 +201,8 @@ class EnvPoolBase:
 
     def async_reset(self) -> None:
         """Reset all envs, delivering results in ``batch_size`` chunks."""
+        if self._recorder is not None:
+            self._recorder.on_reset(self.all_env_ids)
         for start in range(0, self.num_envs, self.batch_size):
             ids = self.all_env_ids[start : start + self.batch_size]
             self._state, ts = self._reset_rows(jnp.asarray(ids))
@@ -219,6 +221,8 @@ class EnvPoolBase:
     def reset(self, env_id: np.ndarray | None = None) -> Any:
         if env_id is None:
             env_id = self.all_env_ids
+        if self._recorder is not None:
+            self._recorder.on_reset(np.asarray(env_id))
         self._state, ts = self._reset_rows(
             jnp.asarray(np.asarray(env_id, dtype=np.int32))
         )
@@ -229,6 +233,9 @@ class EnvPoolBase:
         )
 
     def _reset_rows(self, env_id: jax.Array):
+        if int(env_id.shape[0]) < self.num_envs:
+            # Partial reset: only run the reset kernel over addressed rows.
+            return self._engine.reset_partial(self._state, env_id)
         mask = (
             jnp.zeros(self.num_envs, jnp.bool_).at[env_id].set(True)
         )
@@ -290,12 +297,42 @@ class EnvPoolBase:
         )
 
     def load_state(self, path: str) -> None:
-        """Restore a snapshot taken by :meth:`save_state`."""
+        """Restore a snapshot taken by :meth:`save_state`.
+
+        Fails loudly if the snapshot was taken under a different config:
+        the stored treedef repr and every leaf's shape/dtype must match the
+        current pool's — silently unflattening mismatched leaves would
+        mis-assign state across fields.
+        """
         with np.load(path) as data:
             leaves = [
                 data[f"arr_{i}"] for i in range(len(data.files) - 1)
             ]
-        _, treedef = jax.tree_util.tree_flatten(self._state)
+            stored_treedef = (
+                bytes(data["__treedef__"]).decode()
+                if "__treedef__" in data
+                else None
+            )
+        cur_leaves, treedef = jax.tree_util.tree_flatten(self._state)
+        if stored_treedef is not None and stored_treedef != repr(treedef):
+            raise ValueError(
+                "load_state: snapshot treedef does not match this pool's "
+                "state tree (was the snapshot taken with a different env "
+                f"config?).\n  stored:  {stored_treedef}\n"
+                f"  current: {treedef!r}"
+            )
+        if len(leaves) != len(cur_leaves):
+            raise ValueError(
+                f"load_state: snapshot has {len(leaves)} leaves, pool state "
+                f"has {len(cur_leaves)}"
+            )
+        for i, (new, cur) in enumerate(zip(leaves, cur_leaves)):
+            if tuple(new.shape) != tuple(cur.shape) or new.dtype != cur.dtype:
+                raise ValueError(
+                    f"load_state: leaf {i} mismatch — snapshot "
+                    f"{new.dtype}{tuple(new.shape)} vs pool "
+                    f"{cur.dtype}{tuple(cur.shape)}"
+                )
         self._state = jax.tree_util.tree_unflatten(
             treedef, [jnp.asarray(a) for a in leaves]
         )

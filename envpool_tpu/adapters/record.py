@@ -42,6 +42,17 @@ class EpisodeRecorder:
                 {k: v[row] for k, v in host.items()}
             )
 
+    def on_reset(self, env_ids: np.ndarray) -> None:
+        """An explicit reset cuts the episode short: the buffered actions
+        belong to the abandoned episode and would otherwise be prepended to
+        the next finished episode's trace, making it unreplayable.  Drop
+        them and advance the episode counter for any env mid-episode."""
+        for eid in np.asarray(env_ids):
+            eid = int(eid)
+            if self._actions[eid]:
+                self._actions[eid] = []
+                self._episode[eid] += 1
+
     def on_recv(self, env_ids: np.ndarray, dones: np.ndarray) -> None:
         for eid, done in zip(np.asarray(env_ids), np.asarray(dones)):
             if not done:

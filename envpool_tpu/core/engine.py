@@ -132,6 +132,7 @@ class Engine:
         self.step = jax.jit(self._step, **donate)
         self.reset = jax.jit(self._reset, **donate)
         self.step_partial = jax.jit(self._step_partial, **donate)
+        self.reset_partial = jax.jit(self._reset_partial, **donate)
         self.init = jax.jit(self._init, out_shardings=sharding)
 
     # -- construction ------------------------------------------------------
@@ -282,6 +283,36 @@ class Engine:
         }
         env_id = jnp.arange(n, dtype=jnp.int32)
         return new_ps, self._finish_ts(r_obs, common, env_id)
+
+    def _reset_partial(
+        self, ps: PoolState, env_id: jax.Array
+    ) -> tuple[PoolState, TimeStepDict]:
+        """Force-reset only ``env_id`` rows (gather/reset/scatter).
+
+        Unlike :meth:`_reset` (which computes a full-batch reset and masks),
+        this only runs the reset kernel over the addressed rows — the right
+        program for ``options={"reset_mask"}`` partial resets on big pools.
+        """
+        take = functools.partial(jnp.take, indices=env_id, axis=0)
+        r_state, r_key, r_obs = jax.vmap(self._reset_one)(take(ps.key))
+        scatter = lambda buf, rows: buf.at[env_id].set(rows)
+        b = env_id.shape[0]
+        new_ps = PoolState(
+            env_state=jax.tree_util.tree_map(scatter, ps.env_state, r_state),
+            key=scatter(ps.key, r_key),
+            elapsed=ps.elapsed.at[env_id].set(0),
+            autoreset=ps.autoreset.at[env_id].set(False),
+            full_reset=ps.full_reset.at[env_id].set(False),
+        )
+        common = {
+            "elapsed_step": jnp.zeros(b, jnp.int32),
+            "done": jnp.zeros(b, jnp.bool_),
+            "reward": jnp.zeros(b, jnp.float32),
+            "discount": jnp.ones(b, jnp.float32),
+            "step_type": jnp.zeros(b, jnp.int32),  # StepType.FIRST
+            "trunc": jnp.zeros(b, jnp.bool_),
+        }
+        return new_ps, self._finish_ts(r_obs, common, env_id.astype(jnp.int32))
 
     def _step_partial(
         self,

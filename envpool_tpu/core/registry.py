@@ -79,12 +79,17 @@ class EnvRegistry:
         import_path, env_cls, default_kwargs = self.specs[task_id]
         self._check_seed(kwargs)
         # from_pixels → Pixel variant (reference registration.py:142-185).
+        # Only extract the pixel kwargs when from_pixels is requested;
+        # otherwise height/width/etc. are real env config (e.g. Catch board
+        # size, MiniGrid room dims) and must flow through to from_config.
         from_pixels = bool(kwargs.pop("from_pixels", False))
-        pixel_kwargs = {
-            k: kwargs.pop(k)
-            for k in ("height", "width", "stack", "view_size", "track_body")
-            if k in kwargs
-        }
+        pixel_kwargs = {}
+        if from_pixels:
+            pixel_kwargs = {
+                k: kwargs.pop(k)
+                for k in ("height", "width", "stack", "view_size", "track_body")
+                if k in kwargs
+            }
         module = importlib.import_module(import_path)
         cls = getattr(module, env_cls)
         merged = {**default_kwargs, **kwargs}

@@ -194,11 +194,13 @@ def egocentric_view(grid, agent_pos, agent_dir, carrying, view: int = 7):
     wall_cell = jnp.asarray([WALL, GREY, 0], jnp.int8)
     cells = jnp.where(inside[..., None], cells, wall_cell)
 
-    # Agent cell shows the carried object (gen_obs sets carrying there).
+    # Agent cell shows the carried object, or EMPTY when hands are free —
+    # NOT the underlying cell (gen_obs_grid sets the agent cell to None when
+    # not carrying; reference minigrid_render.cc:357-358 does the same).
     agent_cell = jnp.where(
         carrying[0] != EMPTY,
         jnp.concatenate([carrying, jnp.zeros(1, jnp.int8)]).astype(jnp.int8),
-        cells[view - 1, half],
+        jnp.asarray([EMPTY, 0, 0], jnp.int8),
     )
     cells = cells.at[view - 1, half].set(agent_cell)
 

@@ -150,12 +150,23 @@ class MujocoGymEnv(TpuEnv):
         }
 
     def action_spec(self):
-        # Bounds from the model's ctrlrange (gymnasium uses the same
-        # source for its Box action space); ±1 for unlimited actuators.
+        # Per-dim bounds from the model's ctrlrange (gymnasium uses the
+        # same source for its Box action space); ±1 for unlimited
+        # actuators.  Kept element-wise so models with mixed per-actuator
+        # ranges don't silently widen the tighter actuators; collapsed to
+        # scalars only when provably lossless (uniform range).
+        if not self.model.nu:
+            return {"action": ArraySpec(jnp.float32, (0,), -1.0, 1.0)}
         cr = np.asarray(self.model.act_ctrlrange, np.float64)
         lim = np.asarray(self.model.act_ctrllimited, bool)
-        low = float(np.min(np.where(lim, cr[:, 0], -1.0))) if self.model.nu else -1.0
-        high = float(np.max(np.where(lim, cr[:, 1], 1.0))) if self.model.nu else 1.0
+        low = np.where(lim, cr[:, 0], -1.0).astype(np.float32)
+        high = np.where(lim, cr[:, 1], 1.0).astype(np.float32)
+        if np.all(low == low[0]) and np.all(high == high[0]):
+            return {
+                "action": ArraySpec(
+                    jnp.float32, (self.model.nu,), float(low[0]), float(high[0])
+                )
+            }
         return {
             "action": ArraySpec(jnp.float32, (self.model.nu,), low, high)
         }

@@ -23,9 +23,15 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: most suite wall time is XLA compiles of
 # per-(env, num_envs) programs; caching them across runs cuts re-run time.
+# Each shard (tools/run_sharded_tests.py sets ENVPOOL_TPU_CACHE_SHARD) gets
+# its OWN cache dir: a shared dir written by concurrent shards was observed
+# to corrupt on interrupted runs and segfault subsequent suites inside
+# jax's compilation_cache reader.
 import pathlib  # noqa: E402
 
-_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_shard = os.environ.get("ENVPOOL_TPU_CACHE_SHARD", "")
+_name = ".jax_cache" + (f"_shard{_shard}" if _shard else "")
+_cache = pathlib.Path(__file__).resolve().parent.parent / _name
 _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

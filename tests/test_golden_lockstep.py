@@ -58,7 +58,9 @@ def test_minigrid_golden_lockstep():
             )
 
 
-def test_pgx_golden_legal_counts():
+def test_pgx_golden_lockstep():
+    """Full-board + legal-mask + reward lockstep vs the independent scalar
+    rules oracles (tests/oracle_fixtures/independent/scalar_board.py)."""
     data = _load("pgx")
     import jax
     import jax.numpy as jnp
@@ -68,49 +70,176 @@ def test_pgx_golden_legal_counts():
     id_map = {
         "go_9x9": "Go9x9-v1",
         "othello": "Othello-v1",
-        "chess": "Chess-v1",
-        "gardner_chess": "GardnerChess-v1",
-        "shogi": "Shogi-v1",
-        "hex": "Hex-v1",
         "connect_four": "ConnectFour-v1",
         "tic_tac_toe": "TicTacToe-v1",
     }
-    for (env_id, seed), ep in _keys(data).items():
-        if env_id not in id_map:
-            continue
-        env = registry._env(id_map[env_id], num_envs=1, max_num_players=2)
+    for (name, seed), ep in _keys(data).items():
+        env = registry._env(id_map[name], num_envs=1)
         st, obs = env.reset_env(jax.random.PRNGKey(seed))
-        mask = obs["info:legal_action_mask"]
-        assert int(np.asarray(mask).sum()) == ep["n_legal"][0]
+        tag = f"{name}|{seed}"
+        np.testing.assert_array_equal(
+            np.asarray(obs["obs:board"]), ep["boards"][0], f"{tag} reset board"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(obs["info:legal_moves"]), ep["masks"][0],
+            f"{tag} reset mask",
+        )
         for t, a in enumerate(ep["actions"]):
-            out = env.step_env(
-                st, jnp.full((2,), a, jnp.int32), jax.random.PRNGKey(t)
-            )
+            out = env.step_env(st, jnp.int32(a), jax.random.PRNGKey(t))
             st = out.state
-            if bool(out.terminated):
-                break
-            assert (
-                int(np.asarray(out.obs["info:legal_action_mask"]).sum())
-                == ep["n_legal"][t + 1]
-            ), f"{env_id}|{seed} step {t}"
+            np.testing.assert_array_equal(
+                np.asarray(out.obs["obs:board"]), ep["boards"][t + 1],
+                f"{tag} board after move {t}",
+            )
+            assert int(out.obs["obs:current_player"]) == ep["players"][t + 1] \
+                or bool(out.terminated), f"{tag} player after move {t}"
+            np.testing.assert_allclose(
+                float(out.reward), ep["rewards"][t], atol=1e-6,
+                err_msg=f"{tag} reward at move {t}",
+            )
+            assert bool(out.terminated) == bool(ep["terminated"][t]), (
+                f"{tag} terminated at move {t}"
+            )
+            if not bool(out.terminated):
+                np.testing.assert_array_equal(
+                    np.asarray(out.obs["info:legal_moves"]), ep["masks"][t + 1],
+                    f"{tag} mask after move {t}",
+                )
 
 
 def test_highway_golden_lockstep():
+    """Lockstep vs the independent scalar IDM/MOBIL/bicycle/SAT oracle
+    (independent/scalar_highway.py): full vehicle positions, ego obs,
+    rewards, crash flags.  Tolerances cover float32-vs-float64 drift over
+    the 5-15 substeps per policy step."""
     data = _load("highway")
     import jax
     import jax.numpy as jnp
 
     from envpool_tpu.core.registry import registry
 
-    id_map = {"highway-v0": "highway-v0", "merge-v0": "merge-v0",
-              "roundabout-v0": "roundabout-v0"}
     for (env_id, seed), ep in _keys(data).items():
-        env = registry._env(id_map[env_id], num_envs=1)
+        env = registry._env(env_id, num_envs=1)
         st, obs = env.reset_env(jax.random.PRNGKey(seed))
+        tag = f"{env_id}|{seed}"
+        np.testing.assert_allclose(
+            np.asarray(obs["obs"]), ep["obs"][0], atol=1e-4,
+            err_msg=f"{tag} reset obs",
+        )
         for t, a in enumerate(ep["actions"]):
             out = env.step_env(st, jnp.int32(a), jax.random.PRNGKey(t))
             st = out.state
             np.testing.assert_allclose(
-                float(out.reward), ep["rewards"][t], atol=5e-2,
-                err_msg=f"{env_id}|{seed} step {t}",
+                np.asarray(st["x"]), ep["x"][t + 1], atol=5e-2,
+                err_msg=f"{tag} x at step {t}",
             )
+            np.testing.assert_allclose(
+                np.asarray(st["y"]), ep["y"][t + 1], atol=5e-2,
+                err_msg=f"{tag} y at step {t}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.obs["obs"]), ep["obs"][t + 1], atol=5e-3,
+                err_msg=f"{tag} obs at step {t}",
+            )
+            np.testing.assert_allclose(
+                float(out.reward), ep["rewards"][t], atol=1e-3,
+                err_msg=f"{tag} reward at step {t}",
+            )
+            assert bool(st["crashed"][0]) == bool(ep["crashed"][t]), (
+                f"{tag} ego crash flag at step {t}"
+            )
+
+
+def test_jumanji_golden_2048():
+    """Oracle-verified transitions: every (board, action, board', reward)
+    of the repo's Game2048 must obey the independent scalar slide/merge/
+    spawn laws (independent/scalar_jumanji.py).  Spawn randomness is
+    handled by law-checking (exactly one new 1/2-exponent tile in an empty
+    cell of the slid board) instead of RNG parity."""
+    import sys
+
+    sys.path.insert(0, HERE)
+    import jax
+    import jax.numpy as jnp
+    from independent.scalar_jumanji import (
+        movable_2048, verify_2048_transition,
+    )
+
+    from envpool_tpu.core.registry import registry
+
+    env = registry._env("Game2048-v1", num_envs=1)
+    for seed in range(3):
+        st, obs = env.reset_env(jax.random.PRNGKey(seed))
+        board = np.asarray(obs["obs:board"])
+        # Reset: exactly two spawned tiles.
+        tiles = board[board > 0]
+        assert len(tiles) == 2 and set(tiles) <= {1, 2}
+        rng = np.random.default_rng(seed)
+        for t in range(120):
+            mask = np.asarray(obs["obs:action_mask"])
+            np.testing.assert_array_equal(
+                mask,
+                [movable_2048(board.tolist(), (a + 1) % 4) for a in range(4)],
+                err_msg=f"seed {seed} step {t} action mask",
+            )
+            a = int(rng.choice(np.flatnonzero(mask)))
+            out = env.step_env(st, jnp.int32(a), jax.random.PRNGKey(1000 + t))
+            st, obs = out.state, out.obs
+            after = np.asarray(obs["obs:board"])
+            err = verify_2048_transition(
+                board, after, (a + 1) % 4, float(out.reward)
+            )
+            assert err is None, f"seed {seed} step {t}: {err}"
+            assert int(obs["info:highest_tile"]) == int(2 ** after.max())
+            board = after
+            if bool(out.terminated):
+                assert not any(
+                    movable_2048(board.tolist(), d) for d in range(4)
+                )
+                break
+
+
+def test_jumanji_golden_sliding_tile():
+    """Full lockstep vs the scalar fifteen-puzzle oracle from the repo
+    env's scrambled reset layout (deterministic dynamics)."""
+    import sys
+
+    sys.path.insert(0, HERE)
+    import jax
+    import jax.numpy as jnp
+    from independent.scalar_jumanji import ScalarSlidingTile
+
+    from envpool_tpu.core.registry import registry
+
+    env = registry._env("SlidingTilePuzzle-v0", num_envs=1)
+    for seed in range(2):
+        st, obs = env.reset_env(jax.random.PRNGKey(seed))
+        oracle = ScalarSlidingTile(
+            np.asarray(st["puzzle"]),
+            np.asarray(st["pos"]),
+            int(env.config["grid_size"]),
+            int(env.config["time_limit"]),
+        )
+        rng = np.random.default_rng(seed)
+        for t in range(80):
+            np.testing.assert_array_equal(
+                np.asarray(obs["obs:action_mask"]), oracle.action_mask(),
+                err_msg=f"seed {seed} step {t} mask",
+            )
+            a = int(rng.integers(0, 4))  # includes illegal pushes
+            want_r, want_done = oracle.step(a)
+            out = env.step_env(st, jnp.int32(a), jax.random.PRNGKey(t))
+            st, obs = out.state, out.obs
+            np.testing.assert_array_equal(
+                np.asarray(obs["obs:puzzle"]), oracle.puzzle_array(),
+                err_msg=f"seed {seed} step {t} puzzle",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(obs["obs:empty_tile_position"]),
+                list(oracle.pos),
+                err_msg=f"seed {seed} step {t} pos",
+            )
+            assert float(out.reward) == want_r, f"seed {seed} step {t} reward"
+            assert bool(out.terminated) == want_done
+            if want_done:
+                break

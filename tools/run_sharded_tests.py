@@ -87,7 +87,10 @@ def main() -> int:
         if not shard:
             continue
         cmd = [sys.executable, "-m", "pytest", "-q", *shard]
-        procs.append((i, shard, subprocess.Popen(cmd)))
+        # Per-shard compile-cache dir (see tests/conftest.py): concurrent
+        # writers to one cache dir can corrupt it when a run is interrupted.
+        env = dict(os.environ, ENVPOOL_TPU_CACHE_SHARD=str(i))
+        procs.append((i, shard, subprocess.Popen(cmd, env=env)))
     rc = 0
     for i, shard, p in procs:
         r = p.wait()
