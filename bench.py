@@ -183,8 +183,72 @@ def sweep() -> None:
             print(f"  {fam:<12} {task}: FAILED {e}", file=sys.stderr)
 
 
+def scaling() -> None:
+    """`bench.py --scaling`: multi-process weak-scaling efficiency.
+
+    Launches 1/2/4 jax.distributed CPU processes (2 virtual devices each)
+    stepping one sharded pool via tools/scaling_worker.py, and reports
+    aggregate steps/s + efficiency vs the 1-process run — the measured
+    analog of the reference's NUMA process scaling
+    (``benchmark/numa_test.sh``, ``benchmark/README.md:154-163``) and the
+    BASELINE.md ">=80% efficiency at >=2 hosts" north star, validated
+    host-side (no multi-host TPU hardware in this image).
+    """
+    import json as _json
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "tools", "scaling_worker.py")
+    ncpu = os.cpu_count() or 1
+    sizes = [(1, 12421), (2, 12422), (4, 12424)]
+    sizes = [(n, p) for n, p in sizes if n <= max(2, ncpu)]
+    configs = [("CartPole-v1", 8192, 2048, 2), ("HalfCheetah-v4", 1024, 128, 2)]
+    for task, envs_pp, steps, reps in configs:
+        base = None
+        print(f"-- weak scaling: {task} ({envs_pp} envs/proc, "
+              f"1 pinned core/proc, {ncpu} cores) --",
+              file=sys.stderr)
+        for nproc, port in sizes:
+            with tempfile.TemporaryDirectory() as td:
+                procs = []
+                env_vars = dict(
+                    os.environ,
+                    JAX_PLATFORMS="cpu",
+                    JAX_COMPILATION_CACHE_DIR="",
+                )
+                env_vars.pop("PALLAS_AXON_POOL_IPS", None)
+                for pid in range(nproc):
+                    procs.append(subprocess.Popen(
+                        [sys.executable, worker, str(port), str(pid),
+                         str(nproc), td, task, str(envs_pp), str(steps),
+                         str(reps)],
+                        env=env_vars,
+                        stdout=subprocess.DEVNULL if pid else None,
+                    ))
+                rc = [p.wait() for p in procs]
+                if any(rc):
+                    print(f"  nproc={nproc}: FAILED rc={rc}", file=sys.stderr)
+                    continue
+                with open(os.path.join(
+                    td, f"scaling_{task}_{nproc}.json"
+                )) as f:
+                    r = _json.load(f)
+            if nproc == 1:
+                base = r["steps_per_s"]
+            eff = r["steps_per_s"] / (base * nproc) if base else float("nan")
+            print(
+                f"  nproc={nproc}: {r['num_envs']:>6} envs "
+                f"{r['steps_per_s']:>12,.0f} steps/s  "
+                f"efficiency={eff:.1%}",
+                file=sys.stderr,
+            )
+
+
 if __name__ == "__main__":
     if "--sweep" in sys.argv:
         sweep()
+    elif "--scaling" in sys.argv:
+        scaling()
     else:
         main()

@@ -69,7 +69,10 @@ class MujocoGymEnv(TpuEnv):
         self.frame_skip = int(type(self).FRAME_SKIP if fs is None else fs)
         self.dt = self.model.timestep * self.frame_skip
         self.contact = ContactParams(
-            kp=float(config["contact_kp"]), kd=float(config["contact_kd"])
+            kp=float(config["contact_kp"]),
+            kd=float(config["contact_kd"]),
+            solver=str(config["contact_solver"]),
+            sol_iters=int(config["contact_sol_iters"]),
         )
         self.substeps = int(config["substeps"])
 
@@ -89,6 +92,12 @@ class MujocoGymEnv(TpuEnv):
             "substeps": 1,
             "contact_kp": 1.0e4,
             "contact_kd": 1.0e2,
+            # "penalty" (default, fastest) | "mujoco" — the constraint-
+            # solver path (physics/solver.py): MuJoCo-faithful soft
+            # pyramidal contacts + joint limits, drift-bounded vs mj_step
+            # (tests/test_contact_solver.py).
+            "contact_solver": "penalty",
+            "contact_sol_iters": 40,
             "integrator": "model",  # "model" (faithful) | "euler" | "rk4"
         }
         base.update(cls.EXTRA_CONFIG)

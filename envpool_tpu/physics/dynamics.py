@@ -88,6 +88,12 @@ class ContactParams(NamedTuple):
     pairs: bool = False
     pair_kp: float = 1.0e4
     pair_kd: float = 1.0e2
+    # Contact model selection: "penalty" (default, fastest) or "mujoco" —
+    # the constraint-solver path (physics/solver.py) reproducing MuJoCo's
+    # soft pyramidal contacts + joint limits via PGS on the regularized
+    # dual.  Selectable per model (VERDICT r3 task 3).
+    solver: str = "penalty"
+    sol_iters: int = 40
 
 
 def _contact_points(model: PhysModel, Rs, ps):
@@ -349,8 +355,12 @@ def _fluid_shared(model: PhysModel, v_com, omega, Rs, Jp, Jr):
     )
 
 
-def _passive_forces(model: PhysModel, q, qd):
-    """Joint/tendon springs and soft joint limits (damping implicit)."""
+def _passive_forces(model: PhysModel, q, qd, limit_penalty: bool = True):
+    """Joint/tendon springs and soft joint limits (damping implicit).
+
+    ``limit_penalty=False`` (solver mode) drops the klim spring — limits
+    are constraint rows in ``physics/solver.py`` there, as in MuJoCo.
+    """
     s = dof_structure(model)
     tau = jnp.zeros(model.nv, q.dtype)
     if len(s.hs_qadr):
@@ -358,12 +368,13 @@ def _passive_forces(model: PhysModel, q, qd):
         spring = -jnp.asarray(s.hs_stiffness, q.dtype) * (
             qs - jnp.asarray(s.hs_springref, q.dtype)
         )
-        # Soft limit penalty (klim=300); unlimited joints have ±inf bounds
-        # so both terms vanish.
-        below = jnp.minimum(qs - jnp.asarray(s.hs_lo, q.dtype), 0.0)
-        above = jnp.maximum(qs - jnp.asarray(s.hs_hi, q.dtype), 0.0)
-        lim = -300.0 * (below + above)
-        tau = tau.at[jnp.asarray(s.hs_dadr)].add(spring + lim)
+        if limit_penalty:
+            # Soft limit penalty (klim=300); unlimited joints have ±inf
+            # bounds so both terms vanish.
+            below = jnp.minimum(qs - jnp.asarray(s.hs_lo, q.dtype), 0.0)
+            above = jnp.maximum(qs - jnp.asarray(s.hs_hi, q.dtype), 0.0)
+            spring = spring - 300.0 * (below + above)
+        tau = tau.at[jnp.asarray(s.hs_dadr)].add(spring)
     # Fixed-tendon springs/dampers: len = Σ coef·q, force mapped back
     # through the coefs (MuJoCo engine_passive.c tendon branch).
     for t, triples in enumerate(model.ten_fixed):
@@ -430,8 +441,13 @@ def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
 
     One FK pass emits the dof screws; Jacobians, velocities and RNE bias
     terms are closed-form masked products off it (module docstring).
+
+    In ``solver="mujoco"`` mode the contact and joint-limit penalty terms
+    are omitted — they are handled by the constraint solver
+    (``physics/solver.py``) — and the kin pass is returned for reuse.
     """
     dtype = q.dtype
+    use_solver = contact.solver == "mujoco"
     damping = jnp.asarray(model.dof_damping, dtype)
     k = _kin(model, q)
     s = dof_structure(model)
@@ -442,25 +458,29 @@ def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
     c = _bias_from_accels(
         model, a_com, omega, omega_dot, Iw, Jp, Jr, dtype
     )
-    # Contact point velocities.
-    if len(model.con_body):
-        tv = qd[:, None] * k.t
-        wv = qd[:, None] * k.w
-        v_con, _ = _point_vel(
-            jnp.asarray(s.con_mask, dtype).T,
-            tv,
-            wv,
-            jnp.cross(wv, k.c),
-            k.centers,
-        )
+    if use_solver:
+        tau_con = jnp.zeros(model.nv, dtype)
+        d_con = jnp.zeros((model.nv, model.nv), dtype)
     else:
-        v_con = jnp.zeros((0, 3), dtype)
-    tau_con, d_con = _contact_forces_shared(
-        model, contact, k.centers, v_con, Jc, dtype
-    )
+        # Contact point velocities.
+        if len(model.con_body):
+            tv = qd[:, None] * k.t
+            wv = qd[:, None] * k.w
+            v_con, _ = _point_vel(
+                jnp.asarray(s.con_mask, dtype).T,
+                tv,
+                wv,
+                jnp.cross(wv, k.c),
+                k.centers,
+            )
+        else:
+            v_con = jnp.zeros((0, 3), dtype)
+        tau_con, d_con = _contact_forces_shared(
+            model, contact, k.centers, v_con, Jc, dtype
+        )
     tau = (
         _actuator_forces(model, ctrl, q, qd)
-        + _passive_forces(model, q, qd)
+        + _passive_forces(model, q, qd, limit_penalty=not use_solver)
         + tau_con
         - c
         - damping * qd
@@ -475,7 +495,7 @@ def _smooth(model: PhysModel, q, qd, ctrl, contact: ContactParams):
         and len(model.pair_body)
     ):
         tau = tau + _pair_contact_tau(model, k, qd, contact, dtype)
-    return M, tau, d_con
+    return M, tau, d_con, k
 
 
 def _seg_closest(p1, q1, p2, q2):
@@ -658,7 +678,14 @@ def forward(
     contact: ContactParams = ContactParams(),
 ) -> jax.Array:
     """Forward dynamics: qacc with explicit damping (for RK4)."""
-    M, tau, _ = _smooth(model, q, qd, ctrl, contact)
+    M, tau, _, k = _smooth(model, q, qd, ctrl, contact)
+    if contact.solver == "mujoco":
+        from .solver import constraint_force
+
+        qfrc_con, qacc_smooth = constraint_force(
+            model, k, q, qd, M, tau, model.timestep, contact.sol_iters
+        )
+        return qacc_smooth + spd_solve(M, qfrc_con)
     return spd_solve(M, tau)
 
 
@@ -723,7 +750,7 @@ def _dispatching_step(model, substeps, contact, nsteps):
         # "auto" picks the scalar backend only off-CPU: XLA:CPU compiles
         # the big unrolled graphs 10-100x slower than the TPU compiler and
         # the einsum path is fast enough for CPU test runs.
-        use_scalar = all_batched and (
+        use_scalar = all_batched and contact.solver != "mujoco" and (
             mode == "scalar"
             or (
                 mode == "auto"
@@ -759,7 +786,20 @@ def _step_impl(
     damping = jnp.asarray(model.dof_damping, qpos.dtype)
 
     def euler(q, qd):
-        M, tau, d_con = _smooth(model, q, qd, ctrl, contact)
+        M, tau, d_con, k = _smooth(model, q, qd, ctrl, contact)
+        if contact.solver == "mujoco":
+            # mj_Euler semantics: the solver computes f against plain M
+            # (qacc_smooth = M⁻¹ tau); integration then solves
+            # (M + h·diag(damping)) qacc = tau + Jᵀf.
+            from .solver import constraint_force
+
+            qfrc_con, _ = constraint_force(
+                model, k, q, qd, M, tau, h, contact.sol_iters
+            )
+            M_imp = M + h * jnp.diag(damping)
+            qacc = spd_solve(M_imp, tau + qfrc_con)
+            qd_new = qd + h * qacc
+            return integrate_qpos(model, q, qd_new, h), qd_new
         # Implicit damping: (M + h·D) qacc = rhs.  The joint-limit penalty
         # spring (klim=300 in _passive_forces) is critically damped against
         # the dof's own inertia while violated — an undamped explicit

@@ -99,7 +99,11 @@ def fk(model: PhysModel, q: jax.Array):
             adr = int(model.jnt_qposadr[j])
             if jtype == FREE:
                 p = q[adr : adr + 3]
-                R = quat2mat(q[adr + 3 : adr + 7])
+                quat = q[adr + 3 : adr + 7]
+                # mj_forward normalizes qpos quaternions in place
+                # (mj_normalizeQuat); match it so a perturbed reset
+                # quat doesn't skew the rotation matrix.
+                R = quat2mat(quat / jnp.linalg.norm(quat))
             elif jtype == SLIDE:
                 axis_w = R @ jnp.asarray(model.jnt_axis[j], dtype)
                 p = p + axis_w * (q[adr] - float(q0[adr]))
@@ -144,7 +148,11 @@ def fk_dof(model: PhysModel, q: jax.Array):
             d = int(model.jnt_dofadr[j])
             if jtype == FREE:
                 p = q[adr : adr + 3]
-                R = quat2mat(q[adr + 3 : adr + 7])
+                quat = q[adr + 3 : adr + 7]
+                # mj_forward normalizes qpos quaternions in place
+                # (mj_normalizeQuat); match it so a perturbed reset
+                # quat doesn't skew the rotation matrix.
+                R = quat2mat(quat / jnp.linalg.norm(quat))
                 for i in range(3):
                     t[d + i] = (
                         jnp.zeros(3, dtype).at[i].set(jnp.asarray(1.0, dtype))

@@ -132,6 +132,20 @@ class PhysModel:
     pair_radius: np.ndarray = None    # [np, 2] radii (a, b)
     pair_friction: np.ndarray = None  # [np] sliding friction
 
+    # Constraint-solver parameters (the ``solver="mujoco"`` contact path):
+    # per-contact solref/solimp mixed per mj_contactParam (geom ⊕ plane),
+    # MuJoCo's diagApprox row weight, contact margin; per-joint limit
+    # solref/solimp; per-dof inverse weight (dof_invweight0).
+    con_solref: np.ndarray = None     # [nc, 2] (timeconst, dampratio)
+    con_solimp: np.ndarray = None     # [nc, 5] (dmin,dmax,width,mid,power)
+    con_invw: np.ndarray = None       # [nc] diagApprox of the facet rows
+    con_margin: np.ndarray = None     # [nc]
+    con_axis: np.ndarray = None       # [nc, 3] capsule axis (0 = none)
+    jnt_solref_lim: np.ndarray = None  # [nj, 2]
+    jnt_solimp_lim: np.ndarray = None  # [nj, 5]
+    jnt_margin: np.ndarray = None     # [nj]
+    dof_invweight: np.ndarray = None  # [nv] dof_invweight0
+
     def __hash__(self) -> int:  # jit static-arg friendliness
         return id(self)
 
@@ -172,6 +186,27 @@ def from_mj_model(m) -> PhysModel:
     plane_conaffinity = int(m.geom_conaffinity[planes[0]]) if planes else 0
 
     con_body, con_pos, con_radius, con_fric = [], [], [], []
+    con_solref, con_solimp, con_invw, con_margin = [], [], [], []
+    con_axis = []
+
+    def _mix_solparams(g, p):
+        """mj_contactParam: priority override, else solmix-weighted mix;
+        friction/margin combine elementwise-max."""
+        pr_g, pr_p = int(m.geom_priority[g]), int(m.geom_priority[p])
+        if pr_g != pr_p:
+            src = g if pr_g > pr_p else p
+            return m.geom_solref[src].copy(), m.geom_solimp[src].copy()
+        s1, s2 = float(m.geom_solmix[g]), float(m.geom_solmix[p])
+        if s1 > 0 and s2 > 0:
+            w1 = s1 / (s1 + s2)
+        elif s1 == 0 and s2 == 0:
+            w1 = 0.5
+        else:
+            w1 = 0.0 if s1 == 0 else 1.0
+        solref = w1 * m.geom_solref[g] + (1 - w1) * m.geom_solref[p]
+        solimp = w1 * m.geom_solimp[g] + (1 - w1) * m.geom_solimp[p]
+        return solref, solimp
+
     for g in range(m.ngeom):
         b = int(m.geom_bodyid[g])
         if b == 0 or not planes or not contacts_enabled:
@@ -185,21 +220,61 @@ def from_mj_model(m) -> PhysModel:
         size = m.geom_size[g]
         pos = m.geom_pos[g]
         quat = m.geom_quat[g]
-        fric = float(m.geom_friction[g][0])
-        if gtype == int(mujoco.mjtGeom.mjGEOM_SPHERE):
+        # Contact friction combines per mj_contactParam: the higher-
+        # priority geom wins outright, else elementwise max.
+        pr_g = int(m.geom_priority[g])
+        pr_p = int(m.geom_priority[planes[0]])
+        if pr_g != pr_p:
+            fric = float(
+                m.geom_friction[g if pr_g > pr_p else planes[0]][0]
+            )
+        else:
+            fric = max(
+                float(m.geom_friction[g][0]),
+                float(m.geom_friction[planes[0]][0]),
+            )
+        solref, solimp = _mix_solparams(g, planes[0])
+        # Contact margin is the SUM of the two geoms' margins (observed:
+        # ant.xml margin 0.01+0.01 → includemargin 0.02).
+        margin = (
+            float(m.geom_margin[g]) + float(m.geom_margin[planes[0]])
+        )
+        # diagApprox of one pyramid facet row:
+        #   Σ body translational invweight0 · 2μ²(1+μ²) / impratio
+        # with μ the combined contact friction — identified numerically
+        # against efc_diagA over (μ, impratio) sweeps of plane-sphere
+        # probes and confirmed on the articulated gym models.
+        invw = (
+            float(m.body_invweight0[b][0])
+            * 2.0 * fric**2 * (1.0 + fric**2)
+            / max(float(m.opt.impratio), 1e-12)
+        )
+
+        def _add(p_local, radius, axis=None, b=b, fric=fric, solref=solref,
+                 solimp=solimp, margin=margin, invw=invw):
             con_body.append(b)
-            con_pos.append(pos.copy())
-            con_radius.append(float(size[0]))
+            con_pos.append(np.asarray(p_local, np.float64))
+            con_radius.append(float(radius))
             con_fric.append(fric)
+            con_solref.append(np.asarray(solref, np.float64))
+            con_solimp.append(np.asarray(solimp, np.float64))
+            con_margin.append(margin)
+            con_invw.append(invw)
+            con_axis.append(
+                np.zeros(3) if axis is None else np.asarray(axis, np.float64)
+            )
+
+        if gtype == int(mujoco.mjtGeom.mjGEOM_SPHERE):
+            _add(pos.copy(), size[0])
         elif gtype == int(mujoco.mjtGeom.mjGEOM_CAPSULE):
             # Endpoint spheres at ±half-length along the local z axis.
+            # The capsule's body-frame axis is kept: MuJoCo's plane-capsule
+            # contact frame aligns tangent 1 with the capsule axis
+            # projected onto the plane (anisotropic friction pyramid).
             half = float(size[1])
             zdir = _quat_rotate_np(quat, np.array([0.0, 0.0, 1.0]))
             for sgn in (-1.0, 1.0):
-                con_body.append(b)
-                con_pos.append(pos + sgn * half * zdir)
-                con_radius.append(float(size[0]))
-                con_fric.append(fric)
+                _add(pos + sgn * half * zdir, size[0], axis=zdir)
         elif gtype == int(mujoco.mjtGeom.mjGEOM_BOX):
             # Corner point contacts (radius 0): the standard
             # corner-sphere approximation of box-plane contact (so
@@ -210,10 +285,7 @@ def from_mj_model(m) -> PhysModel:
                         corner = np.array(
                             [sx * size[0], sy * size[1], sz * size[2]]
                         )
-                        con_body.append(b)
-                        con_pos.append(pos + _quat_rotate_np(quat, corner))
-                        con_radius.append(0.0)
-                        con_fric.append(fric)
+                        _add(pos + _quat_rotate_np(quat, corner), 0.0)
         # Ellipsoids/planes/other types: skipped (not needed for the suite).
 
     # Body-body contact pairs (sphere/capsule only), following MuJoCo's
@@ -365,6 +437,15 @@ def from_mj_model(m) -> PhysModel:
         con_pos=np.asarray(con_pos, np.float64).reshape(-1, 3),
         con_radius=np.asarray(con_radius, np.float64),
         con_friction=np.asarray(con_fric, np.float64),
+        con_solref=np.asarray(con_solref, np.float64).reshape(-1, 2),
+        con_solimp=np.asarray(con_solimp, np.float64).reshape(-1, 5),
+        con_invw=np.asarray(con_invw, np.float64),
+        con_margin=np.asarray(con_margin, np.float64),
+        con_axis=np.asarray(con_axis, np.float64).reshape(-1, 3),
+        jnt_solref_lim=m.jnt_solref.copy(),
+        jnt_solimp_lim=m.jnt_solimp.copy(),
+        jnt_margin=m.jnt_margin.copy(),
+        dof_invweight=m.dof_invweight0.copy(),
         site_body=m.site_bodyid.copy()
         if m.nsite
         else np.zeros(0, np.int32),

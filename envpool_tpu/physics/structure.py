@@ -115,6 +115,7 @@ class DofStructure:
 
         # Hinge/slide joint tables for vectorized passive/limit forces.
         hs = [j for j in range(nj) if int(model.jnt_type[j]) in (SLIDE, HINGE)]
+        self.hs_jnt = np.asarray(hs, np.int32)  # joint id per hs row
         self.hs_qadr = np.asarray(
             [int(model.jnt_qposadr[j]) for j in hs], np.int32
         )

@@ -168,14 +168,25 @@ def test_jumanji_golden_2048():
     from envpool_tpu.core.registry import registry
 
     env = registry._env("Game2048-v1", num_envs=1)
-    for seed in range(3):
+
+    @jax.jit
+    def _step(st, a, k):
+        out = env.step_env(st, a, k)
+        return out.state, out.obs, out.reward, out.terminated
+
+    class _Out:
+        def __init__(self, parts):
+            self.state, self.obs, self.reward, self.terminated = parts
+
+    step = lambda st, a, k: _Out(_step(st, a, k))
+    for seed in range(2):
         st, obs = env.reset_env(jax.random.PRNGKey(seed))
         board = np.asarray(obs["obs:board"])
         # Reset: exactly two spawned tiles.
         tiles = board[board > 0]
         assert len(tiles) == 2 and set(tiles) <= {1, 2}
         rng = np.random.default_rng(seed)
-        for t in range(120):
+        for t in range(80):
             mask = np.asarray(obs["obs:action_mask"])
             np.testing.assert_array_equal(
                 mask,
@@ -183,7 +194,7 @@ def test_jumanji_golden_2048():
                 err_msg=f"seed {seed} step {t} action mask",
             )
             a = int(rng.choice(np.flatnonzero(mask)))
-            out = env.step_env(st, jnp.int32(a), jax.random.PRNGKey(1000 + t))
+            out = step(st, jnp.int32(a), jax.random.PRNGKey(1000 + t))
             st, obs = out.state, out.obs
             after = np.asarray(obs["obs:board"])
             err = verify_2048_transition(
