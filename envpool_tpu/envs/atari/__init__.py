@@ -71,6 +71,20 @@ from .wave9_games import (
     MontezumaRevengeEnv,
     PooyanEnv,
 )
+from .wave10_games import (
+    AsteroidsEnv,
+    DefenderEnv,
+    KungFuMasterEnv,
+    PrivateEyeEnv,
+    RobotankEnv,
+)
+from .wave11_games import (
+    SolarisEnv,
+    SurroundEnv,
+    TutankhamEnv,
+    VideoPinballEnv,
+    YarsRevengeEnv,
+)
 
 __all__ = [
     "AlienEnv",
@@ -125,4 +139,14 @@ __all__ = [
     "SpaceInvadersEnv",
     "StarGunnerEnv",
     "TimePilotEnv",
+    "AsteroidsEnv",
+    "DefenderEnv",
+    "KungFuMasterEnv",
+    "PrivateEyeEnv",
+    "RobotankEnv",
+    "SolarisEnv",
+    "SurroundEnv",
+    "TutankhamEnv",
+    "VideoPinballEnv",
+    "YarsRevengeEnv",
 ]

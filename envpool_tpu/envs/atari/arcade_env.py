@@ -30,16 +30,87 @@ from ...ops.image import resize_area
 RAW_H, RAW_W = 210, 160
 
 
+# ALE full action set (18 actions): id → (up, down, left, right, fire).
+# Order per ale::Action — NOOP FIRE UP RIGHT LEFT DOWN UPRIGHT UPLEFT
+# DOWNRIGHT DOWNLEFT UPFIRE RIGHTFIRE LEFTFIRE DOWNFIRE UPRIGHTFIRE
+# UPLEFTFIRE DOWNRIGHTFIRE DOWNLEFTFIRE
+# (reference: envpool/atari/atari_env.h full_action_space handling).
+ALE_COMPONENTS = (
+    (0, 0, 0, 0, 0),  # 0  NOOP
+    (0, 0, 0, 0, 1),  # 1  FIRE
+    (1, 0, 0, 0, 0),  # 2  UP
+    (0, 0, 0, 1, 0),  # 3  RIGHT
+    (0, 0, 1, 0, 0),  # 4  LEFT
+    (0, 1, 0, 0, 0),  # 5  DOWN
+    (1, 0, 0, 1, 0),  # 6  UPRIGHT
+    (1, 0, 1, 0, 0),  # 7  UPLEFT
+    (0, 1, 0, 1, 0),  # 8  DOWNRIGHT
+    (0, 1, 1, 0, 0),  # 9  DOWNLEFT
+    (1, 0, 0, 0, 1),  # 10 UPFIRE
+    (0, 0, 0, 1, 1),  # 11 RIGHTFIRE
+    (0, 0, 1, 0, 1),  # 12 LEFTFIRE
+    (0, 1, 0, 0, 1),  # 13 DOWNFIRE
+    (1, 0, 0, 1, 1),  # 14 UPRIGHTFIRE
+    (1, 0, 1, 0, 1),  # 15 UPLEFTFIRE
+    (0, 1, 0, 1, 1),  # 16 DOWNRIGHTFIRE
+    (0, 1, 1, 0, 1),  # 17 DOWNLEFTFIRE
+)
+
+
+def full_to_minimal_map(minimal_set) -> "np.ndarray":
+    """[18] table: each ALE full action → index into ``minimal_set``.
+
+    Projection by joystick components: each full action maps to the
+    minimal-set entry sharing the most components (matched components
+    score +2, spurious components −1); exact matches win, unmatched
+    actions fall back to NOOP-like behavior — how a real cartridge
+    ignores switch bits it doesn't read.
+    """
+    import numpy as np
+
+    table = np.zeros(18, np.int32)
+    for full_id in range(18):
+        fc = ALE_COMPONENTS[full_id]
+        best, best_score = 0, -10**9
+        for idx, ale_id in enumerate(minimal_set):
+            mc = ALE_COMPONENTS[ale_id]
+            if mc == fc:
+                best, best_score = idx, 10**9
+                break
+            score = sum(
+                2 if (a and b) else (-1 if (a != b) else 0)
+                for a, b in zip(fc, mc)
+            )
+            if score > best_score:
+                best, best_score = idx, score
+        table[full_id] = best
+    return table
+
+
 class ArcadeGame:
     """One game core: pure tick/render functions over a state dict.
 
     ``tick`` advances ONE raw frame.  ``render_gray`` draws the current
     frame as float32 luma in [0, 255]; ``render_rgb`` as float32 RGB
     ``[3, H, W]``.
+
+    ``minimal_set`` lists the ALE action ids the core's action indices
+    correspond to (defaults to the first ``action_set_size`` full-set
+    ids, which matches the 18-action cores); ``full_action_space=True``
+    pools project the 18 ALE ids through :func:`full_to_minimal_map`.
+    ``mode`` / ``difficulty`` are set by the env layer before ``init``;
+    cores that support game variants read them (``supported_modes`` /
+    ``supported_difficulties`` declare the valid values, mirroring ALE's
+    per-ROM mode/difficulty lists, atari_env.h:50-89).
     """
 
     action_set_size: int = 6
     has_fire: bool = True  # action 1 == FIRE → fire_reset applies
+    minimal_set: tuple = ()  # ALE ids per action index; () → range(n)
+    supported_modes: tuple = (0,)
+    supported_difficulties: tuple = (0,)
+    mode: int = 0
+    difficulty: int = 0
 
     def init(self, key: jax.Array) -> dict[str, Any]:
         raise NotImplementedError
@@ -92,6 +163,43 @@ class ArcadeEnv(TpuEnv):
     def __init__(self, config):
         super().__init__(config)
         self.game = self.GAME_CLS()
+        # mode / difficulty: validated against the core's declared
+        # variants and installed on the game instance before any init()
+        # (ALE setMode/setDifficulty semantics, atari_env.h:50-89;
+        # -1 = the ROM default, i.e. the first supported value).
+        mode = int(config["mode"])
+        difficulty = int(config["difficulty"])
+        if mode >= 0:
+            if mode not in self.game.supported_modes:
+                raise ValueError(
+                    f"mode {mode} not supported by "
+                    f"{type(self.game).__name__}; supported: "
+                    f"{self.game.supported_modes}"
+                )
+            self.game.mode = mode
+        else:
+            self.game.mode = int(self.game.supported_modes[0])
+        if difficulty >= 0:
+            if difficulty not in self.game.supported_difficulties:
+                raise ValueError(
+                    f"difficulty {difficulty} not supported by "
+                    f"{type(self.game).__name__}; supported: "
+                    f"{self.game.supported_difficulties}"
+                )
+            self.game.difficulty = difficulty
+        else:
+            self.game.difficulty = int(
+                self.game.supported_difficulties[0]
+            )
+        # full_action_space: expose all 18 ALE actions, projected onto
+        # the core's minimal set by joystick components.
+        if bool(config["full_action_space"]):
+            minimal = self.game.minimal_set or tuple(
+                range(self.game.action_set_size)
+            )
+            self._full_map = jnp.asarray(full_to_minimal_map(minimal))
+        else:
+            self._full_map = None
 
     # -- config helpers ----------------------------------------------------
 
@@ -134,7 +242,7 @@ class ArcadeEnv(TpuEnv):
         }
 
     def action_spec(self):
-        n = self.game.action_set_size
+        n = 18 if self._full_map is not None else self.game.action_set_size
         return {
             "action": ArraySpec(jnp.int32, (), 0, n - 1, is_discrete=True)
         }
@@ -251,6 +359,14 @@ class ArcadeEnv(TpuEnv):
     def step_env(self, state, action, key):
         cfg = self.config
         frame_skip = self._frame_skip
+        if self._full_map is not None:
+            # Project the ALE full-set id onto the core's minimal set
+            # (one-hot contraction: batched vector-index gathers are a
+            # TPU pathology — docs/benchmark.md "TPU performance rules").
+            oh = jax.nn.one_hot(
+                jnp.clip(action, 0, 17), 18, dtype=jnp.int32
+            )
+            action = (oh * self._full_map).sum().astype(jnp.int32)
         k_sticky, k_tick = jax.random.split(key)
         p = float(cfg["repeat_action_probability"])
         if p > 0:

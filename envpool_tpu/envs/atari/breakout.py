@@ -47,6 +47,18 @@ _ROW_RGB = (
 class BreakoutGame(ArcadeGame):
     action_set_size = 4
     has_fire = True
+    minimal_set = (0, 1, 3, 4)  # NOOP FIRE RIGHT LEFT
+    # ALE Breakout modes 0/4/8/12... flip game variants; the observable
+    # Lite effect: higher modes speed the ball up.  Difficulty 1 halves
+    # the paddle (the console difficulty switch).
+    supported_modes = (0, 4, 8, 12)
+    supported_difficulties = (0, 1)
+
+    def _speed_scale(self):
+        return 1.0 + 0.15 * (self.mode // 4)
+
+    def _paddle_w(self):
+        return _PADDLE_W * (0.5 if self.difficulty == 1 else 1.0)
 
     def init(self, key):
         return {
@@ -73,21 +85,21 @@ class BreakoutGame(ArcadeGame):
         left = action == 3
         dx = jnp.where(right, _PADDLE_SPEED, jnp.where(left, -_PADDLE_SPEED, 0.0))
         paddle_x = jnp.clip(
-            g["paddle_x"] + dx, _WALL, RAW_W - _WALL - _PADDLE_W
+            g["paddle_x"] + dx, _WALL, RAW_W - _WALL - self._paddle_w()
         )
 
         serve = g["serve"]
         fire = action == 1
         launch = serve & fire
         # While serving the ball rides the paddle.
-        bx = jnp.where(serve, paddle_x + _PADDLE_W / 2, g["ball_x"])
+        bx = jnp.where(serve, paddle_x + self._paddle_w() / 2, g["ball_x"])
         by = jnp.where(serve, float(_PADDLE_Y - _BALL), g["ball_y"])
         vx = jnp.where(
             launch,
             jax.random.choice(key, jnp.asarray([-1.0, 1.0], jnp.float32)),
             g["vel_x"],
         )
-        vy = jnp.where(launch, -2.0, g["vel_y"])
+        vy = jnp.where(launch, -2.0 * self._speed_scale(), g["vel_y"])
         serve = serve & ~fire
 
         moving = ~serve
@@ -121,9 +133,10 @@ class BreakoutGame(ArcadeGame):
 
         # Paddle bounce.
         on_paddle_row = (by + _BALL >= _PADDLE_Y) & (by < _PADDLE_Y + _PADDLE_H)
-        over_paddle = (bx + _BALL >= paddle_x) & (bx <= paddle_x + _PADDLE_W)
+        pw = self._paddle_w()
+        over_paddle = (bx + _BALL >= paddle_x) & (bx <= paddle_x + pw)
         paddle_hit = moving & on_paddle_row & over_paddle & (vy > 0)
-        english = (bx + _BALL / 2 - (paddle_x + _PADDLE_W / 2)) * 0.25
+        english = (bx + _BALL / 2 - (paddle_x + pw / 2)) * 0.25
         vy = jnp.where(paddle_hit, -jnp.abs(vy), vy)
         vx = jnp.where(paddle_hit, jnp.clip(vx + english, -2.0, 2.0), vx)
         by = jnp.where(paddle_hit, float(_PADDLE_Y - _BALL), by)
@@ -178,7 +191,7 @@ class BreakoutGame(ArcadeGame):
             (rows >= _PADDLE_Y)
             & (rows < _PADDLE_Y + _PADDLE_H)
             & (cols >= g["paddle_x"])
-            & (cols < g["paddle_x"] + _PADDLE_W)
+            & (cols < g["paddle_x"] + self._paddle_w())
         )
         ball = (
             ~g["serve"]

@@ -36,6 +36,16 @@ _TIMER = 8160
 class FreewayGame(ArcadeGame):
     action_set_size = 3
     has_fire = False
+    minimal_set = (0, 2, 5)  # NOOP UP DOWN
+    # ALE Freeway modes select traffic patterns; difficulty speeds it up.
+    supported_modes = (0, 1, 2)
+    supported_difficulties = (0, 1)
+
+    def _car_speed(self):
+        import numpy as _np
+
+        scale = 1.0 + 0.25 * self.mode + 0.3 * self.difficulty
+        return _np.asarray(_CAR_SPEED) * scale
 
     def init(self, key):
         xs = jax.random.uniform(key, (_LANES,), jnp.float32, 0.0, RAW_W)
@@ -62,7 +72,7 @@ class FreewayGame(ArcadeGame):
         )
         y = jnp.clip(g["y"] + dy, _GOAL_Y, _START_Y)
         cars = jnp.mod(
-            g["cars"] + jnp.asarray(_CAR_SPEED, jnp.float32), RAW_W
+            g["cars"] + jnp.asarray(self._car_speed(), jnp.float32), RAW_W
         )
         # Collision in any lane.
         lane_y = jnp.asarray(_LANE_Y, jnp.float32)

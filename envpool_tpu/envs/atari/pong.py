@@ -48,6 +48,12 @@ _RGB = {
 class PongGame(ArcadeGame):
     action_set_size = 6
     has_fire = True
+    minimal_set = (0, 1, 3, 4, 11, 12)  # NOOP FIRE RIGHT LEFT R-FIRE L-FIRE
+    supported_difficulties = (0, 1)
+
+    def _player_h(self):
+        # ALE difficulty switch: position 1 halves the player's paddle.
+        return _PADDLE_H * (0.5 if self.difficulty == 1 else 1.0)
 
     def init(self, key):
         kv = jax.random.split(key, 2)
@@ -73,7 +79,8 @@ class PongGame(ArcadeGame):
         up = (action == 2) | (action == 4)
         down = (action == 3) | (action == 5)
         dy = jnp.where(up, -_PLAYER_SPEED, jnp.where(down, _PLAYER_SPEED, 0.0))
-        player_y = jnp.clip(g["player_y"] + dy, _TOP, _BOT - _PADDLE_H)
+        ph = self._player_h()
+        player_y = jnp.clip(g["player_y"] + dy, _TOP, _BOT - ph)
 
         # CPU paddle tracks the ball (only when the ball approaches it).
         target = g["ball_y"] + _BALL / 2 - _PADDLE_H / 2
@@ -99,22 +106,25 @@ class PongGame(ArcadeGame):
         vy = jnp.where(hit_top | hit_bot, -vy, vy)
 
         # Paddle bounces with "english" from the contact point.
-        def paddle_hit(bx, by, vx, vy, px, py, moving_right):
+        def paddle_hit(bx, by, vx, vy, px, py, moving_right,
+                       h=_PADDLE_H):
             over_col = (
                 (bx + _BALL >= px) & (bx <= px + _PADDLE_W)
                 if moving_right
                 else (bx <= px + _PADDLE_W) & (bx + _BALL >= px)
             )
-            overlap = (by + _BALL >= py) & (by <= py + _PADDLE_H)
+            overlap = (by + _BALL >= py) & (by <= py + h)
             going = (vx > 0) if moving_right else (vx < 0)
             hit = over_col & overlap & going
-            english = (by + _BALL / 2 - (py + _PADDLE_H / 2)) * 0.25
+            english = (by + _BALL / 2 - (py + h / 2)) * 0.25
             new_speed = jnp.minimum(jnp.abs(vx) + 0.25, 2.5)
             vx = jnp.where(hit, jnp.where(moving_right, -new_speed, new_speed), vx)
             vy = jnp.where(hit, jnp.clip(vy + english, -2.0, 2.0), vy)
             return vx, vy, hit
 
-        vx, vy, _ = paddle_hit(bx, by, vx, vy, float(_PLAYER_X), player_y, True)
+        vx, vy, _ = paddle_hit(
+            bx, by, vx, vy, float(_PLAYER_X), player_y, True, ph
+        )
         vx, vy, _ = paddle_hit(bx, by, vx, vy, float(_CPU_X), cpu_y, False)
 
         # Scoring.
@@ -164,7 +174,7 @@ class PongGame(ArcadeGame):
             (cols >= _PLAYER_X)
             & (cols < _PLAYER_X + _PADDLE_W)
             & (rows >= g["player_y"])
-            & (rows < g["player_y"] + _PADDLE_H)
+            & (rows < g["player_y"] + self._player_h())
         )
         cpu = (
             (cols >= _CPU_X)

@@ -109,6 +109,16 @@ for _task_id, _cls, _task in (
     ("GravitarLite-v5", "GravitarEnv", "gravitar"),
     ("PooyanLite-v5", "PooyanEnv", "pooyan"),
     ("CarnivalLite-v5", "CarnivalEnv", "carnival"),
+    ("AsteroidsLite-v5", "AsteroidsEnv", "asteroids"),
+    ("DefenderLite-v5", "DefenderEnv", "defender"),
+    ("KungFuMasterLite-v5", "KungFuMasterEnv", "kung_fu_master"),
+    ("PrivateEyeLite-v5", "PrivateEyeEnv", "private_eye"),
+    ("RobotankLite-v5", "RobotankEnv", "robotank"),
+    ("SolarisLite-v5", "SolarisEnv", "solaris"),
+    ("SurroundLite-v5", "SurroundEnv", "surround"),
+    ("TutankhamLite-v5", "TutankhamEnv", "tutankham"),
+    ("VideoPinballLite-v5", "VideoPinballEnv", "video_pinball"),
+    ("YarsRevengeLite-v5", "YarsRevengeEnv", "yars_revenge"),
 ):
     register(
         task_id=_task_id,

@@ -103,6 +103,12 @@ class FootballEnv(TpuEnv):
     DEFAULT_CONFIG = {
         "env_name": "11_vs_11_stochastic",
         "physics_steps_per_frame": 10,
+        # Observation representation, mirroring upstream GRF's kwarg:
+        # "extracted" = SMM minimap (the reference's only obs,
+        # gfootball_env.h:40-49); "simple115v2" = the 115-float vector
+        # (positions/directions/ball/ownership/active/game-mode one-hots,
+        # absent players padded with -1).
+        "representation": "extracted",
     }
 
     def __init__(self, config):
@@ -130,8 +136,12 @@ class FootballEnv(TpuEnv):
     # -- specs -------------------------------------------------------------
 
     def state_spec(self):
+        if str(self.config["representation"]) == "simple115v2":
+            obs_spec = ArraySpec(jnp.float32, (115,), -2.0, 2.0)
+        else:
+            obs_spec = ArraySpec(jnp.uint8, (SMM_H, SMM_W, SMM_C), 0, 255)
         return {
-            "obs": ArraySpec(jnp.uint8, (SMM_H, SMM_W, SMM_C), 0, 255),
+            "obs": obs_spec,
             "info:score": ArraySpec(jnp.int32, (2,)),
             "info:game_mode": ArraySpec(jnp.int32, ()),
             "info:ball_owned_team": ArraySpec(jnp.int32, (), -1, 1),
@@ -177,9 +187,41 @@ class FootballEnv(TpuEnv):
             axis=-1,
         )
 
+    def _simple115(self, st):
+        """GRF simple115v2: [115] float32."""
+        lm = jnp.asarray(self.left_mask)
+        rm = jnp.asarray(self.right_mask)
+
+        def team_block(pos, prev, mask):
+            xy = jnp.where(mask[:, None], pos, -1.0)[:11]
+            dxy = jnp.where(mask[:, None], pos - prev, -1.0)[:11]
+            return jnp.concatenate([xy.reshape(-1), dxy.reshape(-1)])
+
+        left = team_block(
+            st["left"], st.get("left_prev", st["left"]), lm
+        )
+        right = team_block(
+            st["right"], st.get("right_prev", st["right"]), rm
+        )
+        ball_prev = st.get("ball_prev", st["ball"])
+        ball_pos = jnp.asarray([st["ball"][0], st["ball"][1], 0.0])
+        ball_dir = jnp.asarray(
+            [st["ball"][0] - ball_prev[0], st["ball"][1] - ball_prev[1], 0.0]
+        )
+        own = jax.nn.one_hot(st["owned_team"] + 1, 3)  # none/left/right
+        active = jax.nn.one_hot(jnp.clip(st["active"], 0, 10), 11)
+        game_mode = jax.nn.one_hot(0, 7)  # kGameModeNormal
+        return jnp.concatenate(
+            [left, right, ball_pos, ball_dir, own, active, game_mode]
+        ).astype(jnp.float32)
+
     def _obs(self, st):
+        if str(self.config["representation"]) == "simple115v2":
+            main = self._simple115(st)
+        else:
+            main = self._smm(st)
         return {
-            "obs": self._smm(st),
+            "obs": main,
             "info:score": st["score"],
             "info:game_mode": jnp.int32(0),
             "info:ball_owned_team": st["owned_team"],
@@ -209,7 +251,10 @@ class FootballEnv(TpuEnv):
         st = {
             "left": jnp.asarray(self.left0),
             "right": jnp.asarray(self.right0),
+            "left_prev": jnp.asarray(self.left0),
+            "right_prev": jnp.asarray(self.right0),
             "ball": jnp.zeros(4, jnp.float32),  # x y vx vy
+            "ball_prev": jnp.zeros(4, jnp.float32),
             "owned_team": jnp.int32(0),
             "owned_player": jnp.int32(0),
             "active": jnp.int32(0),
@@ -373,7 +418,10 @@ class FootballEnv(TpuEnv):
         st2 = {
             "left": left,
             "right": right,
+            "left_prev": state["left"],
+            "right_prev": state["right"],
             "ball": ball,
+            "ball_prev": state["ball"],
             "owned_team": owned_team,
             "owned_player": owned_player,
             "active": active,

@@ -95,3 +95,27 @@ def test_pool_runs():
             rng.integers(0, 19, 4).astype(np.int32)
         )
     assert "score" in info and info["score"].shape == (4, 2)
+
+
+def test_simple115v2_representation():
+    """Upstream GRF's simple115v2 vector obs beside the SMM default."""
+    import numpy as np
+
+    import envpool_tpu
+
+    env = envpool_tpu.make(
+        "11_vs_11_stochastic-v3"
+        if "11_vs_11_stochastic-v3" in envpool_tpu.list_all_envs()
+        else [i for i in envpool_tpu.list_all_envs() if "11_vs_11" in i][0],
+        env_type="gymnasium", num_envs=2, seed=0,
+        representation="simple115v2",
+    )
+    obs, _ = env.reset()
+    assert obs.shape == (2, 115) and obs.dtype == np.float32
+    # Ownership one-hot (indices 88:91) and active one-hot (97:108) sum 1.
+    assert np.allclose(obs[:, 94:97].sum(axis=1), 1.0)
+    assert np.allclose(obs[:, 97:108].sum(axis=1), 1.0)
+    for t in range(4):
+        obs, r, te, tr, info = env.step(np.full(2, 5, np.int32))
+    # Movement produced nonzero direction entries.
+    assert (np.abs(obs[:, 22:44]) > 0).any()
