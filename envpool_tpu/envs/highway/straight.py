@@ -256,31 +256,60 @@ class HighwayEnv(TpuEnv):
     def _vy(self, st):
         return st["speed"] * jnp.sin(st["heading"])
 
-    def _neighbours(self, st, lane_q):
-        """Front/rear vehicle per row for per-row query lane ``lane_q`` [V].
+    def _lane_tables(self, st):
+        """Front/rear per (static lane, vehicle): 4×[L, V] tables.
 
-        Vectorization of ``NeighbourVehicles`` (highway_env.cc:742-775):
-        candidates within (lane_width/2 + 1) laterally of the query lane and
-        inside the road extent.
+        One pass replaces the 8 per-query-lane ``[V, V]`` neighbour scans a
+        substep used to run (NeighbourVehicles, highway_env.cc:742-775):
+        every query lane vector (current, target, left, right) is integer-
+        valued, so all lookups become tiny one-hot contractions against
+        these tables.  The ``[V, V]`` reductions (the HBM-bound cost of
+        this family) drop from ~32 to 4·L per substep.
         """
         x, y = st["x"], st["y"]
-        lat = y[None, :] - _LANE_WIDTH * lane_q.astype(jnp.float32)[:, None]
         v = x.shape[0]
-        ok = (
-            (jnp.abs(lat) <= _LANE_WIDTH / 2.0 + 1.0)
-            & (x[None, :] >= -_LENGTH)
-            & (x[None, :] < _LANE_LENGTH + _LENGTH)
-            & ~jnp.eye(v, dtype=bool)
+        in_x = (x >= -_LENGTH) & (x < _LANE_LENGTH + _LENGTH)
+        eye = jnp.eye(v, dtype=bool)
+        xge = x[None, :] >= x[:, None]
+        fi, fv, ri, rv = [], [], [], []
+        for lane in range(self._lanes):
+            member = (
+                jnp.abs(y - _LANE_WIDTH * lane) <= _LANE_WIDTH / 2.0 + 1.0
+            ) & in_x
+            ok = member[None, :] & ~eye
+            fm = ok & xge
+            fk = jnp.where(fm, x[None, :], jnp.inf)
+            fi.append(jnp.argmin(fk, axis=1))
+            fv.append(fm.any(axis=1))
+            rm = ok & ~xge
+            rk = jnp.where(rm, x[None, :], -jnp.inf)
+            ri.append(jnp.argmax(rk, axis=1))
+            rv.append(rm.any(axis=1))
+        return (
+            jnp.stack(fi), jnp.stack(fv), jnp.stack(ri), jnp.stack(rv)
         )
-        front_mask = ok & (x[None, :] >= x[:, None])
-        front_key = jnp.where(front_mask, x[None, :], jnp.inf)
-        front_idx = jnp.argmin(front_key, axis=1)
-        front_valid = front_mask.any(axis=1)
-        rear_mask = ok & (x[None, :] < x[:, None])
-        rear_key = jnp.where(rear_mask, x[None, :], -jnp.inf)
-        rear_idx = jnp.argmax(rear_key, axis=1)
-        rear_valid = rear_mask.any(axis=1)
-        return front_idx, front_valid, rear_idx, rear_valid
+
+    def _from_tables(self, tables, lane_q):
+        """(front_idx, front_valid, rear_idx, rear_valid) for per-row query
+        lanes ``lane_q`` [V] via one-hot contraction into the lane tables
+        (out-of-range lanes → invalid)."""
+        fi, fv, ri, rv = tables
+        L = self._lanes
+        inb = (lane_q >= 0) & (lane_q < L)
+        oh = jax.nn.one_hot(jnp.clip(lane_q, 0, L - 1), L, dtype=jnp.float32)
+        def pick_i(t):
+            return jnp.einsum(
+                "vl,lv->v", oh, t.astype(jnp.float32)
+            ).astype(jnp.int32)
+        def pick_b(t):
+            return jnp.einsum("vl,lv->v", oh, t.astype(jnp.float32)) > 0.5
+        return (
+            pick_i(fi), pick_b(fv) & inb, pick_i(ri), pick_b(rv) & inb
+        )
+
+    def _neighbours(self, st, lane_q):
+        """Compatibility wrapper: per-query neighbours via the lane tables."""
+        return self._from_tables(self._lane_tables(st), lane_q)
 
     def _idm_toward(self, st, front_idx, front_valid):
         """acc of each row following ``front_idx`` in its own role (ego=self)."""
@@ -318,16 +347,18 @@ class HighwayEnv(TpuEnv):
             _take(vy, front_idx),
         )
 
-    def _mobil(self, st, cand_lane, lane):
+    def _mobil(self, st, cand_lane, lane, tables=None):
         """MOBIL test of every row changing to ``cand_lane`` [V] (politeness 0).
 
         Vectorization of highway_env.cc:846-884.
         """
+        if tables is None:
+            tables = self._lane_tables(st)
         rows = jnp.arange(st["x"].shape[0])
-        new_front, new_front_v, new_rear, new_rear_v = self._neighbours(
-            st, cand_lane
+        new_front, new_front_v, new_rear, new_rear_v = self._from_tables(
+            tables, cand_lane
         )
-        old_front, old_front_v, _, _ = self._neighbours(st, lane)
+        old_front, old_front_v, _, _ = self._from_tables(tables, lane)
         delta = st["idm_delta"]
         # Safety: would the new follower brake too hard behind us?
         new_follow_pred = self._idm_pair(
@@ -344,8 +375,10 @@ class HighwayEnv(TpuEnv):
         gain = self_pred - self_now
         return safe & (gain >= _LC_MIN_ACC_GAIN)
 
-    def _change_lane_policy(self, st, lane):
+    def _change_lane_policy(self, st, lane, tables=None):
         """New (target_lane, timer) for traffic rows (highway_env.cc:809-844)."""
+        if tables is None:
+            tables = self._lane_tables(st)
         x = st["x"]
         v = x.shape[0]
         target = st["target_lane"]
@@ -394,13 +427,14 @@ class HighwayEnv(TpuEnv):
             )
 
         left_ok = (
-            may_consider & reachable(left) & moving & self._mobil(st, left, lane)
+            may_consider & reachable(left) & moving
+            & self._mobil(st, left, lane, tables)
         )
         right_ok = (
             may_consider
             & reachable(right)
             & moving
-            & self._mobil(st, right, lane)
+            & self._mobil(st, right, lane, tables)
         )
         new_target = jnp.where(
             left_ok, left, jnp.where(right_ok, right, target_after_abort)
@@ -413,6 +447,11 @@ class HighwayEnv(TpuEnv):
         Vectorization of ``CollidePolygons`` (highway_env.cc:312-391) over all
         vehicle pairs; 4 unique separating axes (the duplicated negated edge
         normals of the C++ loop yield identical distances).
+
+        Perf note: a K-nearest candidate cull (lax.top_k + one-hot gather,
+        SAT on [V, K]) was tried and measured 2.7x SLOWER end-to-end on the
+        axon TPU relay (top_k dominates); the dense [V, V] form with the
+        symmetric-interval shortcut below is the fastest known layout.
         """
         x, y, heading = st["x"], st["y"], st["heading"]
         v = x.shape[0]
@@ -423,10 +462,7 @@ class HighwayEnv(TpuEnv):
 
         # Closed-form OBB SAT: a rectangle's projection interval on a unit
         # axis u is center·u ± r(u), r(u) = hl·|dir·u| + hw·|perp·u| — no
-        # corner enumeration.  The earlier corner-projection einsums
-        # materialized [B,V,V,4,4] tensors (~330 MB each at B=2048) and
-        # made this call 87% of the TPU step time; everything here is
-        # [V,V] per axis with the 4 axes in a static python loop.
+        # corner enumeration.
         dxm = x[None, :] - x[:, None]          # center_j − center_i
         dym = y[None, :] - y[:, None]
         ddx = dispx[:, None] - dispx[None, :]  # disp_i − disp_j
@@ -459,7 +495,8 @@ class HighwayEnv(TpuEnv):
         for ux, uy, ri, rj in axes_list:
             p = ux * dxm + uy * dym            # Δcenter·u  [V,V]
             vp = ux * ddx + uy * ddy           # rel-disp·u
-            ds = interval_distance(-ri, ri, p - rj, p + rj)
+            # Symmetric intervals: signed gap = |p| - (ri + rj).
+            ds = jnp.abs(p) - (ri + rj)
             dd = interval_distance(
                 -ri + jnp.minimum(vp, 0.0), ri + jnp.maximum(vp, 0.0),
                 p - rj, p + rj,
@@ -546,9 +583,10 @@ class HighwayEnv(TpuEnv):
         lanes = self._lanes
         v = self._v
         lane = _closest_lane(st["y"], lanes)
+        tables = self._lane_tables(st)
 
         # Traffic lane-change decisions (rows >= 1, not crashed).
-        new_target, new_timer = self._change_lane_policy(st, lane)
+        new_target, new_timer = self._change_lane_policy(st, lane, tables)
         is_traffic = jnp.arange(v) >= 1
         act_traffic = is_traffic & ~st["crashed"]
         target_lane = jnp.where(act_traffic, new_target, st["target_lane"])
@@ -561,9 +599,11 @@ class HighwayEnv(TpuEnv):
         )
         accel_ctrl = _KP_A * (st["target_speed"] - st["speed"])  # ego row
 
-        front_idx, front_v, _, _ = self._neighbours(st, lane)
+        front_idx, front_v, _, _ = self._from_tables(tables, lane)
         acc_idm = self._idm_toward(st, front_idx, front_v)
-        tfront_idx, tfront_v, _, _ = self._neighbours(st, st["target_lane"])
+        tfront_idx, tfront_v, _, _ = self._from_tables(
+            tables, st["target_lane"]
+        )
         acc_idm_t = self._idm_toward(st, tfront_idx, tfront_v)
         acc_idm = jnp.where(
             lane != st["target_lane"], jnp.minimum(acc_idm, acc_idm_t), acc_idm

@@ -52,6 +52,19 @@ def _tolerance(d, margin):
     return 1.0 / (1.0 + (d / margin) ** 2)
 
 
+def _tolerance_exact(d, bound, margin, value_at_margin=0.1):
+    """metaworld reward_utils.tolerance with sigmoid="long_tail".
+
+    Exactly dm_control's long_tail: 1 inside [0, bound]; outside,
+    1 / ((x·scale)² + 1) with x = (d − bound)/margin and scale chosen so
+    the value at x = 1 equals ``value_at_margin`` (default 0.1).
+    """
+    scale = jnp.sqrt(1.0 / value_at_margin - 1.0)
+    x = (d - bound) / jnp.maximum(margin, 1e-8)
+    out = 1.0 / ((x * scale) ** 2 + 1.0)
+    return jnp.where(d <= bound, 1.0, out)
+
+
 class SawyerEnv(TpuEnv):
     """All 50 MetaWorld tasks via the ``task_name`` config key."""
 
@@ -229,8 +242,15 @@ class SawyerEnv(TpuEnv):
         # Reward: reach/caging ⊗ in-place (reference structure).
         tcp_to_obj = jnp.linalg.norm(tcp - obj)
         if self.category == "reach":
+            # Exact metaworld SawyerReachEnvV2.compute_reward: reward =
+            # 10 · tolerance(|tcp − target|, bounds=(0, 0.05),
+            # margin=|hand_init − target|, long_tail) — crosschecked by
+            # the independent scalar oracle in tests/test_metaworld.py.
             target_d = jnp.linalg.norm(tcp - state["goal"])
-            in_place = _tolerance(target_d, 0.1)
+            in_place = _tolerance_exact(
+                target_d, 0.05,
+                jnp.linalg.norm(jnp.asarray(_HAND_INIT) - state["goal"]),
+            )
             unscaled = in_place
             grasp_reward = jnp.float32(0.0)
         else:
@@ -246,7 +266,10 @@ class SawyerEnv(TpuEnv):
             in_place = _tolerance(target_d, 0.1)
             unscaled = _hamacher(grasp_reward, in_place)
         success = target_d < self.thr
-        reward = jnp.where(success, 10.0, unscaled * 10.0)
+        if self.category == "reach":
+            reward = unscaled * 10.0  # metaworld reach has no override
+        else:
+            reward = jnp.where(success, 10.0, unscaled * 10.0)
 
         st = {
             "tcp": tcp,

@@ -25,6 +25,8 @@ volleys — one fused XLA program per step, ``vmap``-able over the pool.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -105,8 +107,12 @@ class DoomEnv(TpuEnv):
         "use_combined_action": False,
         "use_inter_area_resize": True,
         "weapon_duration": 5,
-        # accepted for reference-config compatibility; unused by the
-        # surrogate (no external engine binary / wad to load):
+        # wad_path: when set, the arena layout is parsed from the real
+        # scenario WAD's LINEDEFS (envs/vizdoom/wad.py) instead of the
+        # hand-authored grid — matching the reference's cfg/wad loading
+        # (vizdoom_env.h:60-110).  The remaining engine-path keys are
+        # accepted for reference-config compatibility; no engine binary
+        # exists in this image:
         "cfg_path": "",
         "wad_path": "",
         "vzd_path": "",
@@ -119,6 +125,16 @@ class DoomEnv(TpuEnv):
     def __init__(self, config):
         super().__init__(config)
         self.sc: Scenario = SCENARIOS[str(config["scenario"])]
+        wad = str(config["wad_path"])
+        if wad:
+            from .wad import wad_to_grid
+
+            grid = wad_to_grid(
+                wad,
+                g=self.sc.grid.shape[0],
+                map_name=str(config["map_id"]).upper() or None,
+            )
+            self.sc = dataclasses.replace(self.sc, grid=grid)
         self.walls = jnp.asarray(self.sc.grid)
         self.g_size = self.sc.grid.shape[0]
         self.buttons = list(self.sc.buttons)

@@ -134,3 +134,43 @@ def test_reward_bounded_and_success_10():
             )
             assert (rew <= 10.0 + 1e-5).all() and (rew >= 0.0).all()
             assert not term.any()  # metaworld never terminates
+
+
+def test_reach_reward_matches_published_formula():
+    """Independent scalar check of the exact metaworld reach-v2 reward:
+    10 * tolerance(|tcp - target|, bounds=(0, 0.05),
+    margin=|hand_init - target|, long_tail, value_at_margin=0.1)."""
+    import math
+
+    import jax
+    import numpy as np
+
+    from envpool_tpu.core.registry import registry
+
+    env = registry._env("MetaWorld/Reach-v3", num_envs=1)
+    st, obs = env.reset_env(jax.random.PRNGKey(3))
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+    goal = np.asarray(st["goal"])
+    rng = np.random.default_rng(0)
+
+    def scalar_reward(tcp):
+        d = float(np.linalg.norm(tcp - goal))
+        bound, margin, va = 0.05, float(np.linalg.norm(hand_init - goal)), 0.1
+        if d <= bound:
+            tol = 1.0
+        else:
+            x = (d - bound) / margin
+            tol = 1.0 / ((x * math.sqrt(1 / va - 1)) ** 2 + 1.0)
+        return 10.0 * tol
+
+    import jax.numpy as jnp
+
+    for t in range(25):
+        a = rng.uniform(-1, 1, 4).astype(np.float32)
+        out = env.step_env(st, jnp.asarray(a), jax.random.PRNGKey(t))
+        st = out.state
+        want = scalar_reward(np.asarray(st["tcp"]))
+        np.testing.assert_allclose(
+            float(out.reward), want, rtol=1e-5, atol=1e-5,
+            err_msg=f"step {t}",
+        )

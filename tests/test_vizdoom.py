@@ -161,3 +161,86 @@ def test_custom_img_size():
     )
     obs, _ = env.reset()
     assert obs.shape == (2, 4, 48, 64)
+
+
+def _build_wad(path, verts, lines):
+    import struct
+
+    body = b""
+    lumps = []
+    ofs = 12  # header size
+
+    def add(name, payload):
+        nonlocal body, ofs
+        lumps.append((ofs, len(payload), name))
+        body += payload
+        ofs += len(payload)
+
+    add("MAP01", b"")
+    add("THINGS", b"")
+    add("LINEDEFS", b"".join(struct.pack("<7h", *ln) for ln in lines))
+    add("VERTEXES", b"".join(struct.pack("<2h", *v) for v in verts))
+    directory = b"".join(
+        struct.pack("<ii8s", o, sz, n.encode().ljust(8, b"\x00"))
+        for o, sz, n in lumps
+    )
+    path.write_bytes(
+        struct.pack("<4sii", b"PWAD", len(lumps), ofs) + body + directory
+    )
+
+
+def test_wad_geometry_parsing(tmp_path):
+    """Parse a synthesized PWAD (square room + inner dividing wall) and
+    check the raycaster grid reflects its linedefs."""
+    from envpool_tpu.envs.vizdoom.wad import parse_wad_map, wad_to_grid
+
+    # 512x512 room (one-sided borders) + a blocking divider with a gap
+    # on the right.
+    verts = [(0, 0), (512, 0), (512, 512), (0, 512), (0, 256), (384, 256)]
+    lines = [
+        (0, 1, 0, 0, 0, 0, -1),
+        (1, 2, 0, 0, 0, 0, -1),
+        (2, 3, 0, 0, 0, 0, -1),
+        (3, 0, 0, 0, 0, 0, -1),
+        (4, 5, 1, 0, 0, 0, 1),  # two-sided, ML_BLOCKING
+    ]
+    path = tmp_path / "scenario.wad"
+    _build_wad(path, verts, lines)
+
+    vs, segs = parse_wad_map(str(path))
+    assert len(vs) == 6
+    assert len(segs) == 5  # 4 borders + 1 blocking divider
+
+    g = 24
+    grid = wad_to_grid(str(path), g=g)
+    assert (grid[3:10, 3:-3] == 0).any()   # free below the divider
+    assert (grid[-8:-3, 3:-3] == 0).any()  # free above it
+    mid = int((256 / 512) * (g - 2) + 1 - 1e-6)
+    assert (grid[mid, 2:6] > 0).all()      # divider walls on the left
+    assert (grid[mid, -5:-2] == 0).any()   # gap on the right
+
+
+def test_wad_path_replaces_layout(tmp_path):
+    """make(..., wad_path=...) drives the env over the parsed geometry."""
+    import numpy as np
+
+    import envpool_tpu
+
+    verts = [(0, 0), (512, 0), (512, 512), (0, 512)]
+    lines = [(0, 1, 0, 0, 0, 0, -1), (1, 2, 0, 0, 0, 0, -1),
+             (2, 3, 0, 0, 0, 0, -1), (3, 0, 0, 0, 0, 0, -1)]
+    path = tmp_path / "room.wad"
+    _build_wad(path, verts, lines)
+
+    env = envpool_tpu.make(
+        "Basic-v1", env_type="gymnasium", num_envs=2, seed=0,
+        wad_path=str(path), use_combined_action=True,
+    )
+    obs, _ = env.reset()
+    for t in range(4):
+        obs, r, te, tr, info = env.step(
+            np.random.default_rng(t).integers(
+                0, env.action_space.n, 2
+            ).astype(np.int32)
+        )
+    assert np.isfinite(np.asarray(r)).all()
