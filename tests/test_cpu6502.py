@@ -1,0 +1,191 @@
+"""6502 interpreter: lockstep fuzzing vs the independent scalar oracle +
+a hand-assembled program with human-verifiable results.
+
+The JAX core (envs/atari/cpu6502.py) is table-driven and branchless; the
+oracle (oracle_fixtures/independent/scalar_6502.py) is a plain if/elif
+interpreter written from the ISA.  Agreement over random ROMs executes
+every addressing mode and flag path from both directions.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), "oracle_fixtures")
+)
+
+from independent.scalar_6502 import Scalar6502  # noqa: E402
+
+from envpool_tpu.envs.atari import cpu6502  # noqa: E402
+
+
+def _sync_state(m):
+    return {
+        "a": int(m["a"]), "x": int(m["x"]), "y": int(m["y"]),
+        "sp": int(m["sp"]), "p": int(m["p"]), "pc": int(m["pc"]),
+        "ram": np.asarray(m["ram"]).tolist(),
+        "tia": np.asarray(m["tia"]).tolist(),
+    }
+
+
+def _oracle_state(o):
+    return {
+        "a": o.a, "x": o.x, "y": o.y, "sp": o.sp, "p": o.p, "pc": o.pc,
+        "ram": list(o.ram), "tia": list(o.tia),
+    }
+
+
+def _run_lockstep(rom, steps, tag):
+    m = cpu6502.make_machine(rom)
+    oracle = Scalar6502(rom)
+    step = jax.jit(cpu6502.step_instruction)
+    rom_j = jnp.asarray(rom, jnp.int32)
+    for t in range(steps):
+        m = step(m, rom_j)
+        oracle.step()
+        got = _sync_state(m)
+        want = _oracle_state(oracle)
+        assert got == want, (
+            f"{tag}: diverged at instruction {t}\n"
+            f"  jax:    { {k: v for k, v in got.items() if k not in ('ram', 'tia')} }\n"
+            f"  oracle: { {k: v for k, v in want.items() if k not in ('ram', 'tia')} }\n"
+            f"  ram equal: {got['ram'] == want['ram']} "
+            f"tia equal: {got['tia'] == want['tia']}"
+        )
+
+
+def test_fuzz_random_roms():
+    """Fully random ROM bytes: every byte value is decoded identically
+    (official ops by the ISA, everything else as 1-byte NOP)."""
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        rom = rng.integers(0, 256, 4096).astype(np.uint8)
+        rom[0xFFC] = 0x00
+        rom[0xFFD] = 0xF0
+        _run_lockstep(rom, 300, f"random seed={seed}")
+
+
+def test_fuzz_official_streams():
+    """Streams of official opcodes with random operands (denser coverage
+    of the ALU/flag paths than uniform bytes)."""
+    official = np.flatnonzero(
+        np.asarray(cpu6502.CPU_TABLES[1]) != cpu6502.O_NOP
+    )
+    official = official[official != 0x00]  # BRK is halt-NOP scope
+    sizes = np.asarray(cpu6502.CPU_TABLES[2])
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        rom = rng.integers(0, 256, 4096).astype(np.uint8)
+        pos = 0
+        while pos < 3500:
+            op = int(rng.choice(official))
+            rom[pos] = op
+            for k in range(1, int(sizes[op])):
+                rom[pos + k] = rng.integers(0, 256)
+            pos += int(sizes[op])
+        rom[0xFFC] = 0x00
+        rom[0xFFD] = 0xF0
+        _run_lockstep(rom, 400, f"official seed={seed}")
+
+
+def _asm(program):
+    rom = np.zeros(4096, np.uint8)
+    rom[: len(program)] = program
+    rom[0xFFC] = 0x00
+    rom[0xFFD] = 0xF0
+    return rom
+
+
+def test_program_sum_and_fibonacci():
+    """Hand-assembled: sum 1..10 → $80, fib(10) → $81, then spin."""
+    prog = [
+        0xA9, 0x00,        # LDA #0
+        0xA2, 0x0A,        # LDX #10
+        # loop: CLC; ADC X... (no ADC-from-X: use STX $90; ADC $90)
+        0x86, 0x90,        # STX $90
+        0x18,              # CLC
+        0x65, 0x90,        # ADC $90
+        0xCA,              # DEX
+        0xD0, 0xF8,        # BNE loop (-8)
+        0x85, 0x80,        # STA $80  (sum 1..10 = 55)
+        # Fibonacci: $91=0, $92=1; 9 iterations → fib(10)=55
+        0xA9, 0x00, 0x85, 0x91,   # LDA #0; STA $91
+        0xA9, 0x01, 0x85, 0x92,   # LDA #1; STA $92
+        0xA0, 0x09,               # LDY #9
+        # fib: LDA $91; CLC; ADC $92; LDX $92; STX $91; STA $92; DEY; BNE
+        0xA5, 0x91,
+        0x18,
+        0x65, 0x92,
+        0xA6, 0x92,
+        0x86, 0x91,
+        0x85, 0x92,
+        0x88,
+        0xD0, 0xF2,               # BNE fib (-14)
+        0xA5, 0x92, 0x85, 0x81,   # LDA $92; STA $81
+        0x4C, 0x2A, 0xF0,         # JMP * (spin)
+    ]
+    rom = _asm(prog)
+    m = cpu6502.make_machine(rom)
+    m = jax.jit(cpu6502.run, static_argnums=2)(
+        m, jnp.asarray(rom, jnp.int32), 200
+    )
+    ram = np.asarray(m["ram"])
+    assert ram[0] == 55, ram[0]    # $80: sum 1..10
+    assert ram[1] == 55, ram[1]    # $81: fib(10)
+    # Oracle agrees on the full final state.
+    o = Scalar6502(rom)
+    for _ in range(200):
+        o.step()
+    assert o.ram[0] == 55 and o.ram[1] == 55
+    assert int(m["pc"]) == o.pc
+
+
+def test_stack_and_subroutines():
+    """JSR/RTS nesting + PHA/PLA round-trips through the $180 RAM mirror."""
+    prog = [
+        0xA2, 0xFF, 0x9A,        # LDX #$FF; TXS
+        0xA9, 0x42,              # LDA #$42
+        0x20, 0x10, 0xF0,        # JSR $F010
+        0x85, 0x82,              # STA $82   (now $43)
+        0x4C, 0x0A, 0xF0,        # JMP * (spin)
+    ]
+    prog += [0xEA] * (0x10 - len(prog))
+    prog += [
+        0x48,                    # PHA
+        0x68,                    # PLA
+        0x18, 0x69, 0x01,        # CLC; ADC #1
+        0x60,                    # RTS
+    ]
+    rom = _asm(prog)
+    m = cpu6502.make_machine(rom)
+    m = jax.jit(cpu6502.run, static_argnums=2)(
+        m, jnp.asarray(rom, jnp.int32), 40
+    )
+    assert int(np.asarray(m["ram"])[2]) == 0x43
+
+
+def test_vmapped_machines_diverge_by_input():
+    """A pool of machines steps under vmap; per-machine SWCHA inputs
+    produce different RAM (the env-pool execution model)."""
+    prog = [
+        0xAD, 0x80, 0x02,        # LDA $0280  (SWCHA)
+        0x85, 0x83,              # STA $83
+        0x4C, 0x05, 0xF0,        # JMP * (spin)
+    ]
+    rom = _asm(prog)
+    base = cpu6502.make_machine(rom)
+    B = 8
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B, *jnp.shape(x))), base
+    )
+    batched = {**batched, "swcha": jnp.arange(B, dtype=jnp.int32) + 16}
+    rom_j = jnp.asarray(rom, jnp.int32)
+    stepped = jax.jit(
+        jax.vmap(lambda mm: cpu6502.run(mm, rom_j, 8))
+    )(batched)
+    ram = np.asarray(stepped["ram"])
+    np.testing.assert_array_equal(ram[:, 3], np.arange(B) + 16)
