@@ -53,6 +53,10 @@ class DmcEnv(TpuEnv):
         "substeps": 1,
         "contact_kp": 2.0e4,
         "contact_kd": 2.0e2,
+        # "penalty" (default) | "mujoco": constraint-solver contacts
+        # (physics/solver.py), drift-bounded vs mj_step.
+        "contact_solver": "penalty",
+        "contact_sol_iters": 40,
     }
 
     def __init__(self, config):
@@ -62,7 +66,10 @@ class DmcEnv(TpuEnv):
         self.n_sub_steps = max(1, round(ct / self.model.timestep))
         self.control_dt = self.model.timestep * self.n_sub_steps
         self.contact = ContactParams(
-            kp=float(config["contact_kp"]), kd=float(config["contact_kd"])
+            kp=float(config["contact_kp"]),
+            kd=float(config["contact_kd"]),
+            solver=str(config["contact_solver"]),
+            sol_iters=int(config["contact_sol_iters"]),
         )
         self.substeps = int(config["substeps"])
         self.task = str(config["task_name"])

@@ -32,7 +32,11 @@ _BODIES = {
     "hand": (23, 39),
     "leg": (14, 80),
 }
-_ACT_TAU = 0.01
+# MuJoCo muscle activation dynamics (mjDYN_MUSCLE, Millard et al.):
+# activation and deactivation time constants are asymmetric and scale
+# with the current activation level.
+_TAU_ACT = 0.01
+_TAU_DEACT = 0.04
 _DT = 0.02
 
 
@@ -157,8 +161,16 @@ class MyoEnv(TpuEnv):
     def step_env(self, state, action, key):
         a = jnp.clip(jnp.reshape(action, (self.nm,)), -1.0, 1.0)
         ctrl = 0.5 * (a + 1.0)  # muscle activations in [0, 1]
-        decay = float(np.exp(-_DT / _ACT_TAU))
-        act = ctrl + (state["act"] - ctrl) * decay
+        # Asymmetric activation dynamics (MuJoCo muscle model):
+        # tau = tau_act·(0.5+1.5·act) rising, tau_deact/(0.5+1.5·act)
+        # falling; integrated exactly over the control step (the Euler
+        # form is unstable at dt/tau = 2).
+        act0 = state["act"]
+        scale = 0.5 + 1.5 * act0
+        tau_eff = jnp.where(
+            ctrl > act0, _TAU_ACT * scale, _TAU_DEACT / scale
+        )
+        act = ctrl + (act0 - ctrl) * jnp.exp(-_DT / tau_eff)
         # Joint dynamics: muscle torques through the moment matrix with
         # passive stiffness/damping (critically damped surrogate).
         tau = jnp.asarray(self.moment) @ act

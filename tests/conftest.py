@@ -21,17 +21,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: most suite wall time is XLA compiles of
-# per-(env, num_envs) programs; caching them across runs cuts re-run time.
-# Each shard (tools/run_sharded_tests.py sets ENVPOOL_TPU_CACHE_SHARD) gets
-# its OWN cache dir: a shared dir written by concurrent shards was observed
-# to corrupt on interrupted runs and segfault subsequent suites inside
-# jax's compilation_cache reader.
+# Persistent compilation cache: OPT-IN for test runs
+# (ENVPOOL_TPU_COMPILE_CACHE=1).  Two distinct native crashes were
+# observed inside jax's CPU-executable cache layer on this suite —
+# SIGSEGV in get_executable_and_time reading an entry truncated by an
+# interrupted run, and SIGABRT in put_executable_and_time serializing a
+# large program — so correctness-critical suite runs default to no
+# persistent cache.  When enabled, each shard (run_sharded_tests.py sets
+# ENVPOOL_TPU_CACHE_SHARD) gets its OWN dir, and the runner quarantines
+# dirs whose previous run died mid-write (.running sentinel).
 import pathlib  # noqa: E402
 
-_shard = os.environ.get("ENVPOOL_TPU_CACHE_SHARD", "")
-_name = ".jax_cache" + (f"_shard{_shard}" if _shard else "")
-_cache = pathlib.Path(__file__).resolve().parent.parent / _name
-_cache.mkdir(exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+if os.environ.get("ENVPOOL_TPU_COMPILE_CACHE", "") == "1":
+    _shard = os.environ.get("ENVPOOL_TPU_CACHE_SHARD", "")
+    _name = ".jax_cache" + (f"_shard{_shard}" if _shard else "")
+    _cache = pathlib.Path(__file__).resolve().parent.parent / _name
+    _cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

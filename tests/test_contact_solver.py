@@ -147,3 +147,42 @@ def test_penalty_path_unchanged():
     q2, qd2 = dyn.step(model, q, qd, jnp.zeros(m.nu), 1, dyn.ContactParams(), 1)
     assert np.all(np.isfinite(np.asarray(q2)))
     assert q2.shape == q.shape
+
+
+def test_env_level_solver_drift_float32():
+    """End-to-end through make(): Ant-v4 with contact_solver="mujoco" in
+    the envs' native float32, stepped against mj_step from the env's own
+    reset state.  Bounds the practical (non-x64) drift."""
+    import envpool_tpu
+
+    jax.config.update("jax_enable_x64", False)  # the envs' real dtype
+    # integrator="model": Ant's env default is the fast-Euler tradeoff;
+    # fidelity mode wants the XML's RK4 (docs/contact_solver.md).
+    spec = envpool_tpu.make_spec(
+        "Ant-v4", num_envs=1, seed=0, contact_solver="mujoco",
+        integrator="model",
+    )
+    env = spec.env
+
+    mj = mujoco.MjModel.from_xml_string(
+        open(_gym_xml("ant.xml")).read()
+    )
+    d = mujoco.MjData(mj)
+    st, _ = env.reset_env(jax.random.PRNGKey(0))
+    d.qpos[:] = np.asarray(st["qpos"], np.float64)
+    d.qvel[:] = np.asarray(st["qvel"], np.float64)
+    rng = np.random.default_rng(0)
+    frame_skip = env.frame_skip
+    state = st
+    for t in range(10):  # 10 agent steps x frame_skip mj steps
+        ctrl = rng.uniform(-0.4, 0.4, mj.nu).astype(np.float32)
+        d.ctrl[:] = ctrl
+        for _ in range(frame_skip):
+            mujoco.mj_step(mj, d)
+        out = env.step_env(state, jnp.asarray(ctrl), jax.random.PRNGKey(t))
+        state = out.state
+    drift = np.abs(np.asarray(state["qpos"], np.float64) - d.qpos).max()
+    # float32 arithmetic over 50 mj-steps of contact-rich dynamics:
+    # observed ~4e-5 (impact events amplify f32 noise ~10x per few
+    # steps beyond this horizon — 2.5e-2 by step 14).
+    assert drift < 2e-3, drift

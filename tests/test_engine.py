@@ -209,3 +209,41 @@ def test_xla_gymnasium_flavor() -> None:
     obs, rew, elapsed = two_steps(handle)
     assert obs.shape == (8, 4)
     assert (np.asarray(elapsed) == 1).all()  # first step was the autoreset
+
+
+def test_reset_partial_only_touches_addressed_rows():
+    """engine.reset_partial must leave unaddressed envs' state and RNG
+    untouched (the options={"reset_mask"} fast path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import envpool_tpu
+    from envpool_tpu.core.engine import Engine
+
+    env = envpool_tpu.make_spec("CartPole-v1", num_envs=8, seed=5).env
+    engine = Engine.shared(env)
+    ps = engine.init()
+    # Step twice so states diverge from reset.
+    for i in range(3):
+        ps, ts = engine.step(
+            ps, {"action": jnp.zeros(8, jnp.int32)}
+        )
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x), ps.env_state)
+    keys_before = np.asarray(ps.key)
+    ids = jnp.asarray([1, 4], jnp.int32)
+    ps2, ts = engine.reset_partial(ps, ids)
+    after = jax.tree_util.tree_map(lambda x: np.asarray(x), ps2.env_state)
+    untouched = [i for i in range(8) if i not in (1, 4)]
+    for leaf_b, leaf_a in zip(
+        jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+    ):
+        np.testing.assert_array_equal(
+            leaf_b[untouched], leaf_a[untouched]
+        )
+    np.testing.assert_array_equal(
+        keys_before[untouched], np.asarray(ps2.key)[untouched]
+    )
+    # Addressed rows were re-keyed and timestep rows are FIRST.
+    assert (np.asarray(ts["step_type"]) == 0).all()
+    assert np.asarray(ts["info:env_id"]).tolist() == [1, 4]
+    assert not np.array_equal(keys_before[[1, 4]], np.asarray(ps2.key)[[1, 4]])

@@ -73,3 +73,42 @@ def test_leg_walk_rewards_speed():
         st_b = dict(out.state)
         r_move += float(out.reward)
     assert r_move > r_still
+
+
+def test_muscle_activation_dynamics_quantitative():
+    """Quantitative fidelity bound: activations follow MuJoCo's muscle
+    model — asymmetric time constants (tau_act=10ms scaled by
+    0.5+1.5·act, tau_deact=40ms inversely scaled), integrated exactly
+    over the 20 ms control step.  Closed-form envelope check."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from envpool_tpu.core.registry import registry
+
+    env = registry._env("myoHandPoseFixed-v0", num_envs=1)
+    st, _ = env.reset_env(jax.random.PRNGKey(0))
+    nm = env.nm
+
+    # Full excitation from rest: act after one step = closed form with
+    # tau = 0.01·(0.5 + 1.5·0) = 0.005.
+    out = env.step_env(st, jnp.ones(nm, jnp.float32), jax.random.PRNGKey(0))
+    want_rise = 1.0 - math.exp(-0.02 / 0.005)
+    np.testing.assert_allclose(
+        np.asarray(out.state["act"]), want_rise, rtol=1e-5
+    )
+
+    # Deactivation from full: tau = 0.04/(0.5+1.5·1) = 0.02 → slower
+    # fall than rise (the published asymmetry).
+    st_full = dict(out.state)
+    st_full["act"] = jnp.ones(nm, jnp.float32)
+    out2 = env.step_env(
+        st_full, -jnp.ones(nm, jnp.float32), jax.random.PRNGKey(1)
+    )
+    want_fall = math.exp(-0.02 / 0.02)
+    np.testing.assert_allclose(
+        np.asarray(out2.state["act"]), want_fall, rtol=1e-5
+    )
+    assert (1.0 - want_fall) < want_rise  # deactivation is slower

@@ -59,6 +59,12 @@ WEIGHTS = {
     "test_vizdoom.py": 45,
     "test_procgen.py": 40,
     "test_gfootball.py": 25,
+    # round 4 additions
+    "test_golden_lockstep.py": 420,  # Go9x9 compile dominates
+    "test_contact_solver.py": 180,
+    "test_cpu6502.py": 30,
+    "test_atari_wave10.py": 45,
+    "test_atari_config.py": 30,
 }
 
 
@@ -83,12 +89,27 @@ def main() -> int:
 
     procs = []
     t0 = time.time()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__))) or "."
     for i, (_, shard) in enumerate(bins):
         if not shard:
             continue
-        cmd = [sys.executable, "-m", "pytest", "-q", *shard]
         # Per-shard compile-cache dir (see tests/conftest.py): concurrent
-        # writers to one cache dir can corrupt it when a run is interrupted.
+        # writers to one cache dir can corrupt it when a run is
+        # interrupted.  A sentinel marks in-progress runs; if one is
+        # still present, the previous run died mid-write and the cache
+        # may hold truncated entries that SEGFAULT jax's cache reader —
+        # quarantine by wiping the dir.
+        cache = os.path.join(root, f".jax_cache_shard{i}")
+        sentinel = os.path.join(cache, ".running")
+        if os.path.exists(sentinel):
+            import shutil
+
+            print(f"[shard {i}] stale cache sentinel — wiping {cache}")
+            shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        with open(sentinel, "w") as f:
+            f.write(str(os.getpid()))
+        cmd = [sys.executable, "-m", "pytest", "-q", *shard]
         env = dict(os.environ, ENVPOOL_TPU_CACHE_SHARD=str(i))
         procs.append((i, shard, subprocess.Popen(cmd, env=env)))
     rc = 0
@@ -96,7 +117,13 @@ def main() -> int:
         r = p.wait()
         status = "ok" if r in (0, 5) else f"FAILED rc={r}"
         print(f"[shard {i}] {status}: {[os.path.basename(s) for s in shard]}")
-        if r not in (0, 5):  # 5 = no tests collected
+        if r in (0, 5):  # clean exit → cache is coherent, keep it
+            sentinel = os.path.join(
+                root, f".jax_cache_shard{i}", ".running"
+            )
+            if os.path.exists(sentinel):
+                os.remove(sentinel)
+        else:  # 5 = no tests collected
             rc = 1
     print(f"total wall-clock: {time.time() - t0:.0f}s")
     return rc
