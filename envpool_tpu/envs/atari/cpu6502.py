@@ -175,6 +175,7 @@ def make_machine(rom: np.ndarray) -> dict:
         "p": jnp.int32((1 << F_U) | (1 << F_I)),
         "ram": jnp.zeros(128, jnp.int32),
         "tia": jnp.zeros(64, jnp.int32),
+        "tia_waddr": jnp.int32(-1),  # last TIA write this instruction
         "swcha": jnp.int32(0xFF),  # joystick byte (active-low)
         "cycles": jnp.int32(0),
     }
@@ -217,7 +218,11 @@ def _write(m: dict, addr: jax.Array, value: jax.Array) -> dict:
     tia_i = jnp.clip(addr, 0, 63)
     oh_t = jax.nn.one_hot(tia_i, 64, dtype=jnp.int32)
     tia = jnp.where(is_tia, m["tia"] * (1 - oh_t) + oh_t * value, m["tia"])
-    return {**m, "ram": ram, "tia": tia}
+    # Record the TIA write target (strobe detection for the TIA layer).
+    waddr = jnp.where(
+        is_tia, addr, m.get("tia_waddr", jnp.int32(-1))
+    ).astype(jnp.int32)
+    return {**m, "ram": ram, "tia": tia, "tia_waddr": waddr}
 
 
 def _set_zn(p: jax.Array, v: jax.Array) -> jax.Array:
@@ -229,6 +234,7 @@ def _set_zn(p: jax.Array, v: jax.Array) -> jax.Array:
 
 def step_instruction(m: dict, rom: jax.Array) -> dict:
     """Execute ONE instruction; returns the new machine state."""
+    m = {**m, "tia_waddr": jnp.int32(-1)}  # fresh strobe capture
     pc = m["pc"]
     opcode = _read(m, rom, pc)
     mode = _onehot_read(_T_MODE, opcode, 256)
