@@ -78,6 +78,7 @@ from .wave10_games import (
     PrivateEyeEnv,
     RobotankEnv,
 )
+from .machine_env import Machine2600Env, Machine2600Game
 from .wave11_games import (
     SolarisEnv,
     SurroundEnv,
@@ -149,4 +150,6 @@ __all__ = [
     "TutankhamEnv",
     "VideoPinballEnv",
     "YarsRevengeEnv",
+    "Machine2600Env",
+    "Machine2600Game",
 ]

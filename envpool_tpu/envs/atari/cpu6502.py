@@ -177,6 +177,7 @@ def make_machine(rom: np.ndarray) -> dict:
         "tia": jnp.zeros(64, jnp.int32),
         "tia_waddr": jnp.int32(-1),  # last TIA write this instruction
         "swcha": jnp.int32(0xFF),  # joystick byte (active-low)
+        "inpt4": jnp.int32(0x80),  # P0 fire button, bit 7 active-low
         "cycles": jnp.int32(0),
     }
 
@@ -200,11 +201,13 @@ def _read(m: dict, rom: jax.Array, addr: jax.Array) -> jax.Array:
     is_ram = _ram_sel(addr)
     is_rom = addr >= 0x1000
     is_swcha = addr == 0x280
+    is_inpt4 = addr == 0x3C  # TIA read space: P0 trigger
     ram_v = _onehot_read(m["ram"], addr & 0x7F, 128)
     rom_v = _onehot_read(rom, addr & 0xFFF, 4096)
     v = jnp.where(is_rom, rom_v, 0)
     v = jnp.where(is_ram, ram_v, v)
     v = jnp.where(is_swcha, m["swcha"], v)
+    v = jnp.where(is_inpt4, m.get("inpt4", jnp.int32(0x80)), v)
     return v & 0xFF
 
 

@@ -127,3 +127,15 @@ for _task_id, _cls, _task in (
         max_episode_steps=27000,
         task=_task,
     )
+
+
+# The 2600 machine env: runs user-supplied 4K cartridge ROMs on the
+# vectorized 6502+TIA emulator behind the standard pipeline (no ROM
+# assets ship in-image; rom_path is required at make()).
+register(
+    task_id="Machine2600-v0",
+    import_path=_PATH,
+    env_cls="Machine2600Env",
+    max_episode_steps=27000,
+    task="machine2600",
+)

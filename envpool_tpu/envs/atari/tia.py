@@ -121,18 +121,26 @@ def step_tia(m: dict, rom: jax.Array) -> dict:
 
 
 def run_frame(m: dict, rom: jax.Array, max_instructions: int) -> dict:
-    """Advance up to one frame (262 lines) under ``lax.fori_loop``."""
+    """Advance one frame under ``lax.fori_loop``.
 
-    def body(_, mm):
-        done = mm["scanline"] >= 262
+    Stops at the frame boundary: 262 lines elapsed, or the ROM's next
+    VSYNC pulse wrapping the scanline counter (kernel loops signal frame
+    completion this way).  ``max_instructions`` bounds runaway ROMs."""
+
+    def body(_, carry):
+        mm, done = carry
         mm2 = step_tia(mm, rom)
+        wrapped = mm2["scanline"] < mm["scanline"]
+        done2 = done | wrapped | (mm2["scanline"] >= 262)
         out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(done, a, b), mm, mm2
         )
-        return out
+        return out, done2
 
     m = {**m, "scanline": jnp.int32(0)}
-    m = jax.lax.fori_loop(0, max_instructions, body, m)
+    m, _ = jax.lax.fori_loop(
+        0, max_instructions, body, (m, jnp.bool_(False))
+    )
     return m
 
 

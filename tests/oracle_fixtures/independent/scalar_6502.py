@@ -19,6 +19,7 @@ class Scalar6502:
         self.ram = [0] * 128
         self.tia = [0] * 64
         self.swcha = 0xFF
+        self.inpt4 = 0x80
         self.a = self.x = self.y = 0
         self.sp = 0xFD
         self.p = 0x24  # U | I
@@ -35,6 +36,8 @@ class Scalar6502:
             return self.ram[addr & 0x7F]
         if addr == 0x280:
             return self.swcha
+        if addr == 0x3C:
+            return self.inpt4
         return 0
 
     def write(self, addr, val):
