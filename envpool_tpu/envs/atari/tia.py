@@ -11,11 +11,13 @@ exactly representable this way; mid-scanline register races are not —
 documented scope).
 
 Implemented registers: VSYNC($00, frame restart), WSYNC($02, strobe),
-COLUP0/COLUP1/COLUPF/COLUBK($06-$09), CTRLPF($0A, bit0 = reflect),
-PF0/PF1/PF2($0D-$0F), RESP0/RESP1($10/$11, strobes latching the player
-x from the beam position), GRP0/GRP1($1B/$1C).  Colors are the 7-bit
-NTSC luma/hue byte mapped to gray by luma (bits 1-3) — enough for the
-84×84 grayscale pipeline the suite uses.
+NUSIZ0/NUSIZ1($04/$05, player copies+size, missile size),
+COLUP0/COLUP1/COLUPF/COLUBK($06-$09), CTRLPF($0A, bit0 = reflect,
+bits 4-5 = ball size), PF0/PF1/PF2($0D-$0F), RESP0/RESP1/RESM0/RESM1/
+RESBL($10-$14, strobes latching object x from the beam position),
+GRP0/GRP1($1B/$1C), ENAM0/ENAM1/ENABL($1D-$1F, missile/ball enables).
+Colors are the 7-bit NTSC luma/hue byte mapped to gray by luma
+(bits 1-3) — enough for the 84×84 grayscale pipeline the suite uses.
 
 No ROM assets exist in this image, so the tests drive hand-assembled
 kernels and assert the rendered playfield/player geometry
@@ -39,7 +41,17 @@ CYCLES_PER_LINE = 76
 # Snapshot register layout: indices into the [NREG] per-line record.
 R_PF0, R_PF1, R_PF2, R_COLUPF, R_COLUBK, R_CTRLPF = 0, 1, 2, 3, 4, 5
 R_COLUP0, R_COLUP1, R_GRP0, R_GRP1, R_POSP0, R_POSP1 = 6, 7, 8, 9, 10, 11
-NREG = 12
+R_NUSIZ0, R_NUSIZ1, R_ENAM0, R_ENAM1, R_ENABL = 12, 13, 14, 15, 16
+R_POSM0, R_POSM1, R_POSBL = 17, 18, 19
+NREG = 20
+
+# NUSIZ player modes: (copy at +0, +16, +32, +64, pixel scale).
+_NUSIZ_COPIES = np.asarray([
+    [1, 0, 0, 0], [1, 1, 0, 0], [1, 0, 1, 0], [1, 1, 1, 0],
+    [1, 0, 0, 1], [1, 0, 0, 0], [1, 0, 1, 1], [1, 0, 0, 0],
+], np.int32)
+_NUSIZ_SCALE = np.asarray([1, 1, 1, 1, 1, 2, 1, 4], np.int32)
+_COPY_OFFSETS = np.asarray([0, 16, 32, 64], np.int32)
 
 
 def attach_tia(m: dict) -> dict:
@@ -50,6 +62,9 @@ def attach_tia(m: dict) -> dict:
         "line_cycles": jnp.int32(0),
         "posp0": jnp.int32(0),
         "posp1": jnp.int32(0),
+        "posm0": jnp.int32(0),
+        "posm1": jnp.int32(0),
+        "posbl": jnp.int32(0),
         "lines": jnp.zeros((VISIBLE_LINES, NREG), jnp.int32),
     }
 
@@ -78,6 +93,9 @@ def step_tia(m: dict, rom: jax.Array) -> dict:
     wsync = wrote == 0x02
     resp0 = wrote == 0x10
     resp1 = wrote == 0x11
+    resm0 = wrote == 0x12
+    resm1 = wrote == 0x13
+    resbl = wrote == 0x14
     vsync_on = (m2["tia"][0] & 0x02) != 0
     vsync_off = ((pre_vsync & 0x02) != 0) & ~vsync_on
 
@@ -86,6 +104,9 @@ def step_tia(m: dict, rom: jax.Array) -> dict:
     beam = jnp.clip(line_cycles * 3 - 68, 0, 159)
     posp0 = jnp.where(resp0, beam, m["posp0"])
     posp1 = jnp.where(resp1, beam, m["posp1"])
+    posm0 = jnp.where(resm0, beam, m["posm0"])
+    posm1 = jnp.where(resm1, beam, m["posm1"])
+    posbl = jnp.where(resbl, beam, m["posbl"])
 
     line_cycles = jnp.where(wsync, CYCLES_PER_LINE, line_cycles)
     advance = line_cycles >= CYCLES_PER_LINE
@@ -94,6 +115,8 @@ def step_tia(m: dict, rom: jax.Array) -> dict:
     record = jnp.stack([
         t[0x0D], t[0x0E], t[0x0F], t[0x08], t[0x09], t[0x0A],
         t[0x06], t[0x07], t[0x1B], t[0x1C], posp0, posp1,
+        t[0x04], t[0x05], t[0x1D], t[0x1E], t[0x1F],
+        posm0, posm1, posbl,
     ])
     vis = m["scanline"] - FIRST_VISIBLE
     store = advance & (vis >= 0) & (vis < VISIBLE_LINES)
@@ -116,6 +139,9 @@ def step_tia(m: dict, rom: jax.Array) -> dict:
         "line_cycles": line_cycles.astype(jnp.int32),
         "posp0": posp0.astype(jnp.int32),
         "posp1": posp1.astype(jnp.int32),
+        "posm0": posm0.astype(jnp.int32),
+        "posm1": posm1.astype(jnp.int32),
+        "posbl": posbl.astype(jnp.int32),
         "lines": lines,
     }
 
@@ -182,16 +208,42 @@ def render_frame(lines: jax.Array) -> jax.Array:
         pf_on = pf_lookup(pf0, pf1, pf2, bit) != 0
         px = jnp.full((160,), _luma(rec[R_COLUBK]), jnp.int32)
         px = jnp.where(pf_on, _luma(rec[R_COLUPF]), px)
-        # Players: 8 one-pixel bits starting at posp (bit 7 first).
-        for grp_i, pos_i, col_i in (
-            (R_GRP0, R_POSP0, R_COLUP0),
-            (R_GRP1, R_POSP1, R_COLUP1),
+        # Ball: CTRLPF bits 4-5 give width 1/2/4/8, playfield color.
+        bl_w = 1 << ((rec[R_CTRLPF] >> 4) & 3)
+        rel_bl = x - rec[R_POSBL]
+        bl_on = (
+            ((rec[R_ENABL] & 2) != 0) & (rel_bl >= 0) & (rel_bl < bl_w)
+        )
+        px = jnp.where(bl_on, _luma(rec[R_COLUPF]), px)
+        # Players: NUSIZ copies (+0/+16/+32/+64) and 1x/2x/4x widths;
+        # missiles: 2-bit width field, player color.
+        copies = jnp.asarray(_NUSIZ_COPIES)
+        offsets = jnp.asarray(_COPY_OFFSETS)
+        scales = jnp.asarray(_NUSIZ_SCALE)
+        for grp_i, pos_i, col_i, nus_i, enam_i, posm_i in (
+            (R_GRP0, R_POSP0, R_COLUP0, R_NUSIZ0, R_ENAM0, R_POSM0),
+            (R_GRP1, R_POSP1, R_COLUP1, R_NUSIZ1, R_ENAM1, R_POSM1),
         ):
-            rel = x - rec[pos_i]
-            inside = (rel >= 0) & (rel < 8)
-            bitv = (rec[grp_i] >> (7 - jnp.clip(rel, 0, 7))) & 1
-            on = inside & (bitv != 0)
+            mode = rec[nus_i] & 7
+            oh_m = jax.nn.one_hot(mode, 8, dtype=jnp.int32)
+            has_copy = oh_m @ copies          # [4]
+            scale = jnp.sum(oh_m * scales)
+            on = jnp.zeros((160,), bool)
+            for c in range(4):
+                rel = x - rec[pos_i] - offsets[c]
+                inside = (rel >= 0) & (rel < 8 * scale)
+                bitv = (
+                    rec[grp_i] >> (7 - jnp.clip(rel // scale, 0, 7))
+                ) & 1
+                on = on | ((has_copy[c] > 0) & inside & (bitv != 0))
             px = jnp.where(on, _luma(rec[col_i]), px)
+            # Missile.
+            m_w = 1 << ((rec[nus_i] >> 4) & 3)
+            rel_m = x - rec[posm_i]
+            m_on = (
+                ((rec[enam_i] & 2) != 0) & (rel_m >= 0) & (rel_m < m_w)
+            )
+            px = jnp.where(m_on, _luma(rec[col_i]), px)
         return px
 
     frame = jax.vmap(line_pixels)(lines)

@@ -125,3 +125,62 @@ def test_player_sprite_latched_position():
     row = frame[30]
     assert (row[pos : pos + 8] == 252).all(), (pos, row[pos - 2 : pos + 10])
     assert row[pos + 9] == 0
+
+
+def test_nusiz_copies_missile_and_ball():
+    """NUSIZ mode 3 renders three player copies; ENAM0 missile and ENABL
+    ball render at their RES-latched positions with configured widths."""
+    prog = []
+
+    def emit(*b):
+        prog.extend(b)
+
+    emit(0xA9, 0x03, 0x85, 0x04)              # NUSIZ0 = 3 (three copies)
+    emit(0xA9, 0x0E, 0x85, 0x06)              # COLUP0
+    emit(0xA9, 0x0E, 0x85, 0x08)              # COLUPF (ball color)
+    emit(0xA9, 0x80, 0x85, 0x1B)              # GRP0 = $80 (leftmost bit)
+    emit(0xA9, 0x02, 0x85, 0x1D)              # ENAM0 on
+    emit(0xA9, 0x02, 0x85, 0x1F)              # ENABL on
+    emit(0xA9, 0x30, 0x85, 0x0A)              # CTRLPF: ball width 8
+    emit(0xA2, 40)                            # skip to visible
+    blank = len(prog)
+    emit(0x85, 0x02, 0xCA)
+    emit(0xD0, (blank - (len(prog) + 2)) & 0xFF)
+    # Latch player at ~beam, then missile later, ball later still.
+    for _ in range(8):
+        emit(0xEA)
+    emit(0x85, 0x10)                          # RESP0
+    for _ in range(6):
+        emit(0xEA)
+    emit(0x85, 0x12)                          # RESM0
+    for _ in range(6):
+        emit(0xEA)
+    emit(0x85, 0x14)                          # RESBL
+    emit(0xA0, 100)
+    vis = len(prog)
+    emit(0x85, 0x02, 0x88)
+    emit(0xD0, (vis - (len(prog) + 2)) & 0xFF)
+    spin = len(prog)
+    emit(0x4C, (0xF000 + spin) & 0xFF, ((0xF000 + spin) >> 8) & 0xFF)
+    rom = np.zeros(4096, np.uint8)
+    rom[: len(prog)] = prog
+    rom[0xFFC] = 0x00
+    rom[0xFFD] = 0xF0
+
+    m = tia.attach_tia(cpu6502.make_machine(rom))
+    m = jax.jit(tia.run_frame, static_argnums=2)(
+        m, jnp.asarray(rom, jnp.int32), 2500
+    )
+    frame = np.asarray(tia.render_frame(m["lines"]))
+    row = frame[30]
+    p0 = int(m["posp0"])
+    pm = int(m["posm0"])
+    pb = int(m["posbl"])
+    # Three single-pixel copies of GRP0 bit 7 at +0/+16/+32.
+    for off in (0, 16, 32):
+        assert row[p0 + off] == 252, (p0, off, row[p0 + off])
+        assert row[p0 + off + 1] == 0 or (p0 + off + 1) in (pm, pb)
+    # Missile: default width 1 at its own latch position.
+    assert row[pm] == 252
+    # Ball: 8 wide at COLUPF.
+    assert (row[pb : pb + 8] == 252).all(), (pb, row[pb : pb + 8])
