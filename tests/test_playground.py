@@ -120,3 +120,43 @@ def test_panda_pick_and_place_success():
         if float(out.obs["info:success"]) == 1.0:
             break
     assert float(out.obs["info:success"]) == 1.0
+
+
+def test_joystick_tracking_reward_closed_form():
+    """Quantitative fidelity bound for the joystick recipe: the tracking
+    terms follow the published MuJoCo-Playground form
+    scale·exp(-err/σ) with σ = 0.25 (= exp(-4·err)).  With all penalty
+    scales zeroed, a stationary robot with a zero command must earn
+    exactly lin_scale + ang_scale; with a commanded velocity v it must
+    earn lin_scale·exp(-4·|v|²) + ang_scale (robot still at rest)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from envpool_tpu.core.registry import registry
+
+    ids = [i for i in envpool_tpu.list_all_envs()
+           if "Joystick" in i and "Go1" in i]
+    env = registry._env(
+        ids[0], num_envs=1,
+        lin_vel_z_scale=0.0, ang_vel_xy_scale=0.0, action_rate_scale=0.0,
+        obs_noise_level=0.0,
+    )
+    st, _ = env.reset_env(jax.random.PRNGKey(0))
+    st = dict(st)
+    # Put the robot exactly at rest in its nominal pose.
+    st["qpos"] = jnp.asarray(env.model.qpos0, jnp.float32)
+    st["qvel"] = jnp.zeros(env.model.nv, jnp.float32)
+    st["prev_action"] = jnp.zeros(env.nu_agent, jnp.float32)
+
+    lin_s = float(env.config["tracking_lin_vel_scale"])
+    ang_s = float(env.config["tracking_ang_vel_scale"])
+
+    st["command"] = jnp.zeros(3, jnp.float32)
+    r0, _ = env._reward(st, st, jnp.zeros(env.nu_agent, jnp.float32))
+    np.testing.assert_allclose(float(r0), lin_s + ang_s, rtol=1e-5)
+
+    st["command"] = jnp.asarray([0.5, 0.0, 0.0], jnp.float32)
+    r1, _ = env._reward(st, st, jnp.zeros(env.nu_agent, jnp.float32))
+    want = lin_s * float(np.exp(-4.0 * 0.25)) + ang_s
+    np.testing.assert_allclose(float(r1), want, rtol=1e-5)
