@@ -284,18 +284,43 @@ def step_instruction(m: dict, rom: jax.Array) -> dict:
 
     # --- ALU / flag results (all computed; selected by op id) ----------
     carry = p >> F_C & 1
-    # ADC (binary mode; the 2600 suite runs with D rarely set — decimal
-    # mode's NZC follow binary on NMOS, V per binary; documented).
+    decimal = (p >> F_D & 1) != 0
+    # ADC binary.
     adc_sum = a + operand + carry
-    adc_r = adc_sum & 0xFF
-    adc_c = (adc_sum > 0xFF).astype(jnp.int32)
-    adc_v = ((~(a ^ operand) & (a ^ adc_sum)) & 0x80) != 0
-    # SBC = ADC of ~operand.
+    adc_rb = adc_sum & 0xFF
+    adc_cb = (adc_sum > 0xFF).astype(jnp.int32)
+    # ADC decimal (NMOS): low nibble fixed first; N/V from the
+    # intermediate high byte; C after the high fix; Z stays BINARY.
+    d_lo = (a & 0x0F) + (operand & 0x0F) + carry
+    d_hi = (a & 0xF0) + (operand & 0xF0)
+    lo_fix = d_lo > 0x09
+    d_hi = d_hi + jnp.where(lo_fix, 0x10, 0)
+    d_lo = d_lo + jnp.where(lo_fix, 0x06, 0)
+    adc_v_dec = ((~(a ^ operand) & (a ^ d_hi)) & 0x80) != 0
+    adc_n_dec = (d_hi & 0x80) != 0
+    hi_fix = d_hi > 0x90
+    d_hi = d_hi + jnp.where(hi_fix, 0x60, 0)
+    adc_c_dec = (d_hi > 0xF0).astype(jnp.int32)
+    adc_r_dec = ((d_lo & 0x0F) | (d_hi & 0xF0)) & 0xFF
+    adc_r = jnp.where(decimal, adc_r_dec, adc_rb)
+    adc_c = jnp.where(decimal, adc_c_dec, adc_cb)
+    adc_v = jnp.where(
+        decimal, adc_v_dec, ((~(a ^ operand) & (a ^ adc_sum)) & 0x80) != 0
+    )
+    # SBC: flags always binary; decimal adjusts the RESULT only (NMOS).
     sbc_op = operand ^ 0xFF
     sbc_sum = a + sbc_op + carry
-    sbc_r = sbc_sum & 0xFF
+    sbc_rb = sbc_sum & 0xFF
     sbc_c = (sbc_sum > 0xFF).astype(jnp.int32)
     sbc_v = ((~(a ^ sbc_op) & (a ^ sbc_sum)) & 0x80) != 0
+    s_lo = (a & 0x0F) - (operand & 0x0F) - (1 - carry)
+    lo_borrow = (s_lo & 0x10) != 0
+    s_lo = s_lo - jnp.where(lo_borrow, 6, 0)
+    s_hi = (a >> 4) - (operand >> 4) - lo_borrow.astype(jnp.int32)
+    hi_borrow = (s_hi & 0x10) != 0
+    s_hi = s_hi - jnp.where(hi_borrow, 6, 0)
+    sbc_r_dec = ((s_lo & 0x0F) | ((s_hi & 0x0F) << 4)) & 0xFF
+    sbc_r = jnp.where(decimal, sbc_r_dec, sbc_rb)
     asl_r = (operand << 1) & 0xFF
     asl_c = operand >> 7 & 1
     lsr_r = operand >> 1
@@ -398,7 +423,7 @@ def step_instruction(m: dict, rom: jax.Array) -> dict:
          op == O_INY, op == O_DEX, op == O_DEY, op == O_INC, op == O_DEC,
          op == O_ASL, op == O_LSR, op == O_ROL, op == O_ROR, is_cmp],
         [new_a, new_x, new_y, new_a, new_a,
-         new_a, adc_r, sbc_r, new_x, new_y,
+         new_a, adc_rb, sbc_rb, new_x, new_y,
          new_a, new_a, new_x, pull1, new_x,
          new_y, new_x, new_y, (mem_v + 1) & 0xFF, (mem_v - 1) & 0xFF,
          asl_r, lsr_r, rol_r, ror_r, cmp_d],
@@ -433,6 +458,15 @@ def step_instruction(m: dict, rom: jax.Array) -> dict:
         [op == O_CLD, op == O_SED, op == O_CLI, op == O_SEI],
         [new_p & ~(1 << F_D), new_p | (1 << F_D),
          new_p & ~(1 << F_I), new_p | (1 << F_I)],
+        new_p,
+    )
+    # Decimal-mode ADC: N comes from the intermediate BCD high byte
+    # (Z stays binary; SBC flags are fully binary on NMOS).
+    adc_dec = decimal & (op == O_ADC)
+    new_p = jnp.where(
+        adc_dec,
+        (new_p & ~(1 << F_N))
+        | (adc_n_dec.astype(jnp.int32) << F_N),
         new_p,
     )
     # PLP / RTI restore P (B cleared, U set).

@@ -5,8 +5,9 @@ table-driven branchless JAX core in ``envpool_tpu/envs/atari/cpu6502.py``.
 Shares only the documented bus model (Atari 2600: TIA $00-$3F writes /
 zero reads, RIOT RAM $80-$FF with the $180-$1FF stack mirror, SWCHA at
 $280, 4K ROM at $F000 with mirroring) and two documented scope choices:
-BRK behaves as a 1-byte halt-NOP (no IRQ vector on a 2600 cart test),
-and decimal mode is not implemented (ADC/SBC are binary regardless of D).
+BRK behaves as a 1-byte halt-NOP (no IRQ vector on a 2600 cart test).
+NMOS decimal mode is implemented (ADC: BCD result, N from the
+intermediate high byte, Z binary; SBC: BCD result, binary flags).
 """
 
 from __future__ import annotations
@@ -126,9 +127,44 @@ class Scalar6502:
         def adc(v):
             c = self.get(0)
             s = self.a + v + c
+            if self.get(3):  # decimal (NMOS)
+                lo = (self.a & 0x0F) + (v & 0x0F) + c
+                hi = (self.a & 0xF0) + (v & 0xF0)
+                if lo > 0x09:
+                    hi += 0x10
+                    lo += 0x06
+                self.put(6, (~(self.a ^ v) & (self.a ^ hi)) & 0x80)
+                n_dec = (hi & 0x80) != 0
+                if hi > 0x90:
+                    hi += 0x60
+                self.put(0, hi > 0xF0)
+                self.put(1, (s & 0xFF) == 0)       # Z binary
+                self.put(7, n_dec)                 # N from intermediate
+                self.a = ((lo & 0x0F) | (hi & 0xF0)) & 0xFF
+            else:
+                self.put(0, s > 0xFF)
+                self.put(6, (~(self.a ^ v) & (self.a ^ s)) & 0x80)
+                self.a = self.set_zn(s)
+
+        def sbc(v):
+            c = self.get(0)
+            vv = v ^ 0xFF
+            s = self.a + vv + c
+            # Flags are always binary on NMOS.
             self.put(0, s > 0xFF)
-            self.put(6, (~(self.a ^ v) & (self.a ^ s)) & 0x80)
-            self.a = self.set_zn(s)
+            self.put(6, (~(self.a ^ vv) & (self.a ^ s)) & 0x80)
+            self.set_zn(s)
+            if self.get(3):
+                lo = (self.a & 0x0F) - (v & 0x0F) - (1 - c)
+                borrow = (lo & 0x10) != 0
+                if borrow:
+                    lo -= 6
+                hi = (self.a >> 4) - (v >> 4) - (1 if borrow else 0)
+                if hi & 0x10:
+                    hi -= 6
+                self.a = ((lo & 0x0F) | ((hi & 0x0F) << 4)) & 0xFF
+            else:
+                self.a = s & 0xFF
 
         def branch(cond):
             off = pc1 if pc1 < 0x80 else pc1 - 256
@@ -210,7 +246,7 @@ class Scalar6502:
             elif name == "adc":
                 adc(v)
             elif name == "sbc":
-                adc(v ^ 0xFF)
+                sbc(v)
             elif name in ("cmp", "cpx", "cpy"):
                 src = {"cmp": self.a, "cpx": self.x, "cpy": self.y}[name]
                 self.put(0, src >= v)

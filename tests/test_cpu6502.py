@@ -189,3 +189,57 @@ def test_vmapped_machines_diverge_by_input():
     )(batched)
     ram = np.asarray(stepped["ram"])
     np.testing.assert_array_equal(ram[:, 3], np.arange(B) + 16)
+
+
+def test_decimal_mode_vectors_and_fuzz():
+    """NMOS BCD: known arithmetic vectors + a SED-heavy fuzz stream."""
+    # Known vectors: (a, operand, carry_in, op) -> (result, carry_out)
+    vectors = [
+        (0x19, 0x01, 0, "adc", 0x20, 0),
+        (0x99, 0x01, 0, "adc", 0x00, 1),
+        (0x50, 0x50, 0, "adc", 0x00, 1),
+        (0x20, 0x01, 1, "sbc", 0x19, 1),
+        (0x00, 0x01, 1, "sbc", 0x99, 0),
+    ]
+    for a, v, c, op, want, want_c in vectors:
+        prog = [
+            0xF8,                            # SED
+            0x38 if c else 0x18,             # SEC/CLC
+            0xA9, a,                         # LDA #a
+            (0x69 if op == "adc" else 0xE9), v,
+            0x85, 0x80,                      # STA $80
+            0x08, 0x68, 0x85, 0x81,          # PHP; PLA; STA $81
+            0x4C, 0x0C, 0xF0,
+        ]
+        rom = _asm(prog)
+        m = cpu6502.make_machine(rom)
+        m = jax.jit(cpu6502.run, static_argnums=2)(
+            m, jnp.asarray(rom, jnp.int32), 10
+        )
+        ram = np.asarray(m["ram"])
+        assert ram[0] == want, (op, hex(a), hex(v), c, hex(int(ram[0])))
+        assert (ram[1] & 1) == want_c, (op, hex(a), hex(v), c, ram[1] & 1)
+        # Scalar oracle agrees bit for bit (including flags).
+        o = Scalar6502(rom)
+        for _ in range(10):
+            o.step()
+        assert o.ram[0] == want and (o.ram[1] & 1) == want_c
+
+    # SED-heavy fuzz: dense decimal ADC/SBC with random operands.
+    rng = np.random.default_rng(7)
+    rom = rng.integers(0, 256, 4096).astype(np.uint8)
+    pos = 0
+    rom[pos] = 0xF8  # SED
+    pos += 1
+    ops = [0x69, 0xE9, 0xA9, 0x18, 0x38, 0x69, 0xE9]
+    while pos < 3000:
+        op = int(rng.choice(ops))
+        rom[pos] = op
+        if op in (0x69, 0xE9, 0xA9):
+            rom[pos + 1] = rng.integers(0, 256)
+            pos += 2
+        else:
+            pos += 1
+    rom[0xFFC] = 0x00
+    rom[0xFFD] = 0xF0
+    _run_lockstep(rom, 300, "decimal fuzz")
