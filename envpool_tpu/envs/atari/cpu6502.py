@@ -196,18 +196,37 @@ def _ram_sel(addr: jax.Array) -> jax.Array:
 
 
 def _read(m: dict, rom: jax.Array, addr: jax.Array) -> jax.Array:
-    """Bus read (branchless over the 2600 memory map)."""
+    """Bus read (branchless over the 2600 memory map).
+
+    When the machine carries TIA beam state (``cx`` present, i.e. after
+    ``tia.attach_tia``), the TIA read map decodes ``addr & 0xF`` as on
+    hardware: $x0-$x7 are the collision latches CXM0P..CXPPMM, $xC/$xD
+    the INPT4/INPT5 triggers.  Bare-CPU machines keep the minimal stub
+    (INPT4 at $3C) so the ISA fuzz tests see a quiet bus.
+    """
     addr = addr & 0x1FFF
     is_ram = _ram_sel(addr)
     is_rom = addr >= 0x1000
     is_swcha = addr == 0x280
-    is_inpt4 = addr == 0x3C  # TIA read space: P0 trigger
     ram_v = _onehot_read(m["ram"], addr & 0x7F, 128)
     rom_v = _onehot_read(rom, addr & 0xFFF, 4096)
     v = jnp.where(is_rom, rom_v, 0)
     v = jnp.where(is_ram, ram_v, v)
     v = jnp.where(is_swcha, m["swcha"], v)
-    v = jnp.where(is_inpt4, m.get("inpt4", jnp.int32(0x80)), v)
+    inpt4 = m.get("inpt4", jnp.int32(0x80))
+    inpt5 = m.get("inpt5", jnp.int32(0x80))
+    if "cx" in m:
+        is_tia_rd = (
+            (addr < 0x1000) & ((addr & 0x80) == 0) & ((addr & 0x200) == 0)
+        )
+        idx = addr & 0x0F
+        cx_v = _onehot_read(m["cx"], idx, 8)
+        tia_v = jnp.where(idx < 8, cx_v, 0)
+        tia_v = jnp.where(idx == 0xC, inpt4, tia_v)
+        tia_v = jnp.where(idx == 0xD, inpt5, tia_v)
+        v = jnp.where(is_tia_rd, tia_v, v)
+    else:
+        v = jnp.where(addr == 0x3C, inpt4, v)
     return v & 0xFF
 
 

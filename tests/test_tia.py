@@ -184,3 +184,168 @@ def test_nusiz_copies_missile_and_ball():
     assert row[pm] == 252
     # Ball: 8 wide at COLUPF.
     assert (row[pb : pb + 8] == 252).all(), (pb, row[pb : pb + 8])
+
+
+# ---------------------------------------------------------------------------
+# Depth round 2: HMOVE, REFP, score/priority, VDEL, collision latches.
+# ---------------------------------------------------------------------------
+
+
+def _rom_from(prog):
+    rom = np.zeros(4096, np.uint8)
+    rom[: len(prog)] = prog
+    rom[0xFFC] = 0x00
+    rom[0xFFD] = 0xF0
+    return rom
+
+
+def _run(rom, n=4000):
+    m = tia.attach_tia(cpu6502.make_machine(rom))
+    m = jax.jit(tia.run_frame, static_argnums=2)(
+        m, jnp.asarray(rom, jnp.int32), n
+    )
+    return m
+
+
+def _blank_then(prog, nlines=40):
+    """Emit the 40 vsync+vblank WSYNC lines preamble."""
+    prog.extend([0xA2, nlines])               # LDX #nlines
+    blank = len(prog)
+    prog.extend([0x85, 0x02, 0xCA])           # STA WSYNC; DEX
+    prog.extend([0xD0, (blank - (len(prog) + 2)) & 0xFF])
+
+
+def _visible(prog, nlines):
+    prog.extend([0xA0, nlines])               # LDY #nlines
+    vis = len(prog)
+    prog.extend([0x85, 0x02, 0x88])           # STA WSYNC; DEY
+    prog.extend([0xD0, (vis - (len(prog) + 2)) & 0xFF])
+
+
+def _spin(prog):
+    spin = len(prog)
+    prog.extend([0x4C, (0xF000 + spin) & 0xFF, ((0xF000 + spin) >> 8) & 0xFF])
+
+
+def _hmove_rom(extra):
+    """Latch RESP0 mid-line, then run ``extra`` bytes, then visible lines."""
+    prog = [0xA9, 0x0E, 0x85, 0x06,           # COLUP0
+            0xA9, 0xFF, 0x85, 0x1B]           # GRP0 = $FF
+    _blank_then(prog)
+    prog.extend([0xEA] * 10)                  # burn 20 cycles into the line
+    prog.extend([0x85, 0x10])                 # STA RESP0
+    prog.extend(extra)
+    _visible(prog, 100)
+    _spin(prog)
+    return _rom_from(prog)
+
+
+def test_hmove_signed_motion():
+    base = int(_run(_hmove_rom([]))["posp0"])
+    # HMP0 = $70 (+7) moves the player LEFT seven pixels.
+    left = _run(_hmove_rom([
+        0xA9, 0x70, 0x85, 0x20,               # HMP0 = $70
+        0x85, 0x02,                           # STA WSYNC
+        0x85, 0x2A,                           # STA HMOVE
+    ]))
+    assert int(left["posp0"]) == (base - 7) % 160
+    # HMP0 = $80 (−8) moves it RIGHT eight pixels.
+    right = _run(_hmove_rom([
+        0xA9, 0x80, 0x85, 0x20,
+        0x85, 0x02, 0x85, 0x2A,
+    ]))
+    assert int(right["posp0"]) == (base + 8) % 160
+    # HMCLR before HMOVE leaves the position unchanged.
+    cleared = _run(_hmove_rom([
+        0xA9, 0x70, 0x85, 0x20,
+        0x85, 0x2B,                           # STA HMCLR
+        0x85, 0x02, 0x85, 0x2A,
+    ]))
+    assert int(cleared["posp0"]) == base
+
+
+def test_refp_reflects_player_graphics():
+    """GRP0=$C0: bits 7,6 render at +0,+1 normally; +6,+7 reflected."""
+    prog = [0xA9, 0x0E, 0x85, 0x06,           # COLUP0
+            0xA9, 0xC0, 0x85, 0x1B]           # GRP0 = $C0
+    _blank_then(prog)
+    _visible(prog, 96)                        # rows 0..95: normal
+    prog.extend([0xA9, 0x08, 0x85, 0x0B])     # REFP0 bit 3 set
+    _visible(prog, 96)                        # rows 96..191: reflected
+    _spin(prog)
+    m = _run(_rom_from(prog))
+    frame = np.asarray(tia.render_frame(m["lines"]))
+    p = int(m["posp0"])
+    assert (frame[30, p : p + 2] == 252).all()
+    assert (frame[30, p + 6 : p + 8] == 0).all()
+    assert (frame[150, p : p + 2] == 0).all()
+    assert (frame[150, p + 6 : p + 8] == 252).all()
+
+
+def test_ctrlpf_score_and_priority_modes():
+    """Score mode paints PF halves in player colors; PFP lifts PF over
+    the players."""
+    prog = [0xA9, 0xFF, 0x85, 0x0D, 0x85, 0x0E, 0x85, 0x0F,  # PF solid
+            0xA9, 0x0E, 0x85, 0x06,           # COLUP0 → luma 252
+            0xA9, 0x04, 0x85, 0x07,           # COLUP1 → luma 72
+            0xA9, 0x0A, 0x85, 0x08,           # COLUPF → luma 180
+            0xA9, 0x02, 0x85, 0x0A]           # CTRLPF = score
+    _blank_then(prog)
+    _visible(prog, 64)                        # rows 0..63: score mode
+    prog.extend([0xA9, 0xFF, 0x85, 0x1B])     # GRP0=$FF (player at pos 0)
+    prog.extend([0xA9, 0x04, 0x85, 0x0A])     # CTRLPF = PF priority
+    _visible(prog, 64)                        # rows 64..127: PFP
+    prog.extend([0xA9, 0x00, 0x85, 0x0A])     # CTRLPF = normal
+    _visible(prog, 64)                        # rows 128..191: player on top
+    _spin(prog)
+    m = _run(_rom_from(prog))
+    frame = np.asarray(tia.render_frame(m["lines"]))
+    # Score mode: left half in COLUP0, right half in COLUP1.
+    assert frame[30, 10] == 252 and frame[30, 100] == 72
+    p = int(m["posp0"])
+    # PFP: playfield color wins where the player overlaps it.
+    assert frame[90, p + 1] == 180
+    # Normal: player color wins.
+    assert frame[160, p + 1] == 252
+
+
+def test_vdel_double_buffers_grp0():
+    """With VDELP0 set, a GRP0 write only shows after a GRP1 write
+    latches it into the old register (the standard 2-line kernel)."""
+    prog = [0xA9, 0x0E, 0x85, 0x06,           # COLUP0
+            0xA9, 0x01, 0x85, 0x25,           # VDELP0 = 1
+            0xA9, 0xFF, 0x85, 0x1B]           # GRP0 new = $FF (hidden)
+    _blank_then(prog)
+    _visible(prog, 96)                        # rows 0..95: hidden
+    prog.extend([0xA9, 0x00, 0x85, 0x1C])     # GRP1 write → old GRP0=$FF
+    _visible(prog, 96)                        # rows 96..191: shown
+    _spin(prog)
+    m = _run(_rom_from(prog))
+    frame = np.asarray(tia.render_frame(m["lines"]))
+    p = int(m["posp0"])
+    assert (frame[30, p : p + 8] == 0).all()
+    assert (frame[150, p : p + 8] == 252).all()
+
+
+def test_collision_latches_and_cxclr_via_bus():
+    """P0 overlapping the playfield sets CXP0FB bit 7, readable at $02;
+    CXCLR clears it.  Reads happen in overscan (no re-latching)."""
+    prog = [0xA9, 0x0E, 0x85, 0x06,           # COLUP0
+            0xA9, 0x0F, 0x85, 0x08,           # COLUPF
+            0xA9, 0xFF, 0x85, 0x1B,           # GRP0 = $FF at pos 0
+            0xA9, 0xF0, 0x85, 0x0D]           # PF0 → pixels 0..15 on
+    _blank_then(prog)
+    _visible(prog, 192)
+    # Overscan: read latches through the TIA bus, then clear, read again.
+    prog.extend([0xA5, 0x02, 0x85, 0x80])     # LDA CXP0FB; STA $80
+    prog.extend([0xA5, 0x07, 0x85, 0x81])     # LDA CXPPMM; STA $81
+    prog.extend([0x85, 0x2C])                 # STA CXCLR
+    prog.extend([0xA5, 0x02, 0x85, 0x82])     # LDA CXP0FB; STA $82
+    _spin(prog)
+    m = _run(_rom_from(prog), n=6000)
+    ram = np.asarray(m["ram"])
+    assert ram[0] & 0x80, hex(int(ram[0]))    # P0·PF latched
+    assert ram[1] == 0                        # no P0·P1 / M0·M1
+    assert ram[2] == 0                        # cleared by CXCLR
+    cx = np.asarray(m["cx"])
+    assert cx[2] == 0                         # state agrees post-clear
