@@ -17,9 +17,14 @@ Exact-surface parts (mirroring the reference):
 
 Interaction dynamics per task category (tasks.py) are a documented
 surrogate (quasi-static push / grasp attach / 1-dof articulation driven
-by tcp engagement); the reward keeps the reference's structure —
-reach/caging term composed with an in-place tolerance term via a
-hamacher product, scaled to [0, 10].
+by tcp engagement).  Rewards: the reach, push, and pick categories use
+the EXACT published metaworld v2/v3 compute_reward formulas (long-tail
+tolerances, the full _gripper_caging_reward structure with y-caging /
+xz-alignment / effort gating / density blends, touch bonuses, and the
+snap-to-10 target radius), evaluated on the surrogate's state with a
+documented pad model; press/turn/slide keep the reference's
+reach ⊗ in-place hamacher structure scaled to [0, 10].  Crosschecked
+against independent scalar implementations in tests/test_metaworld.py.
 """
 
 from __future__ import annotations
@@ -52,17 +57,89 @@ def _tolerance(d, margin):
     return 1.0 / (1.0 + (d / margin) ** 2)
 
 
-def _tolerance_exact(d, bound, margin, value_at_margin=0.1):
+def _tolerance_exact(d, bound, margin, value_at_margin=0.1, lo=0.0):
     """metaworld reward_utils.tolerance with sigmoid="long_tail".
 
-    Exactly dm_control's long_tail: 1 inside [0, bound]; outside,
-    1 / ((x·scale)² + 1) with x = (d − bound)/margin and scale chosen so
-    the value at x = 1 equals ``value_at_margin`` (default 0.1).
+    Exactly dm_control's long_tail: 1 inside [lo, bound]; outside,
+    1 / ((x·scale)² + 1) with x = distance-outside-the-nearest-bound /
+    margin and scale chosen so the value at x = 1 equals
+    ``value_at_margin`` (default 0.1).
     """
     scale = jnp.sqrt(1.0 / value_at_margin - 1.0)
-    x = (d - bound) / jnp.maximum(margin, 1e-8)
+    below = d < lo
+    above = d > bound
+    x = jnp.where(above, d - bound, lo - d) / jnp.maximum(margin, 1e-8)
     out = 1.0 / ((x * scale) ** 2 + 1.0)
-    return jnp.where(d <= bound, 1.0, out)
+    return jnp.where(below | above, out, 1.0)
+
+
+# Gripper pad kinematics for the caging reward: the finger pads sit at
+# tcp.y ± half-separation, half-sep interpolating between closed (1 cm)
+# and fully open (5 cm) with the open fraction.  This is the surrogate's
+# pad model; the caging FORMULA below is metaworld's exactly.
+_PAD_HALF_CLOSED = 0.01
+_PAD_HALF_OPEN = 0.05
+_TARGET_RADIUS = 0.05
+
+
+def _gripper_caging_reward(tcp, grip, a_grip, obj, obj_init, *,
+                           obj_radius, pad_success_thresh, xz_thresh,
+                           object_reach_radius, density):
+    """metaworld SawyerXYZEnv._gripper_caging_reward, formula-exact.
+
+    y-caging of the object between the two finger pads (long-tail
+    tolerances hamacher-combined), xz alignment of the tcp to the
+    object, gripper-effort gating at caging > 0.97, and the
+    high/medium-density blends — exactly the published structure; the
+    pad positions come from the surrogate pad model above.
+    """
+    half = _PAD_HALF_CLOSED + (_PAD_HALF_OPEN - _PAD_HALF_CLOSED) * grip
+    left_pad_y = tcp[1] + half
+    right_pad_y = tcp[1] - half
+    init_left_y = _HAND_INIT[1] + _PAD_HALF_OPEN
+    init_right_y = _HAND_INIT[1] - _PAD_HALF_OPEN
+    delta_left = left_pad_y - obj[1]
+    delta_right = obj[1] - right_pad_y
+    left_margin = jnp.abs(
+        jnp.abs(obj[1] - init_left_y) - pad_success_thresh
+    )
+    right_margin = jnp.abs(
+        jnp.abs(obj[1] - init_right_y) - pad_success_thresh
+    )
+    left_caging = _tolerance_exact(
+        delta_left, pad_success_thresh, left_margin, lo=obj_radius
+    )
+    right_caging = _tolerance_exact(
+        delta_right, pad_success_thresh, right_margin, lo=obj_radius
+    )
+    y_caging = _hamacher(left_caging, right_caging)
+
+    xz = jnp.asarray([0, 2])
+    xz_margin = (
+        jnp.linalg.norm(obj_init[xz] - jnp.asarray(_HAND_INIT)[xz])
+        - xz_thresh
+    )
+    xz_caging = _tolerance_exact(
+        jnp.linalg.norm(tcp[xz] - obj[xz]), xz_thresh, xz_margin
+    )
+
+    gripper_closed = jnp.clip(a_grip, 0.0, 1.0)
+    caging = _hamacher(y_caging, xz_caging)
+    gripping = jnp.where(caging > 0.97, gripper_closed, 0.0)
+    caging_and_gripping = _hamacher(caging, gripping)
+    if density == "high":
+        return (caging_and_gripping + caging) / 2.0
+    if density == "medium":
+        tcp_to_obj = jnp.linalg.norm(obj - tcp)
+        tcp_to_obj_init = jnp.linalg.norm(
+            obj_init - jnp.asarray(_HAND_INIT)
+        )
+        reach_margin = jnp.abs(tcp_to_obj_init - object_reach_radius)
+        reach = _tolerance_exact(
+            tcp_to_obj, object_reach_radius, reach_margin
+        )
+        return (caging_and_gripping + reach) / 2.0
+    return caging_and_gripping
 
 
 class SawyerEnv(TpuEnv):
@@ -253,21 +330,62 @@ class SawyerEnv(TpuEnv):
             )
             unscaled = in_place
             grasp_reward = jnp.float32(0.0)
+        elif self.category == "push":
+            # Exact metaworld SawyerPushEnvV2.compute_reward: in-place
+            # tolerance on |obj − target| (bound 0.05, margin = initial
+            # object-to-target distance), high-density caging reward,
+            # reward = 2·caging, tripled-plus-one with 5·in_place once
+            # the tcp touches the object (< 0.02) with the gripper not
+            # fully closed, snapped to 10 inside the target radius.
+            target_d = jnp.linalg.norm(obj - state["goal"])
+            in_place = _tolerance_exact(
+                target_d, _TARGET_RADIUS, jnp.linalg.norm(
+                    obj0 - state["goal"]
+                ),
+            )
+            grasp_reward = _gripper_caging_reward(
+                tcp, grip, a[3], obj, obj0,
+                obj_radius=0.015, pad_success_thresh=0.05,
+                xz_thresh=0.005, object_reach_radius=0.01,
+                density="high",
+            )
+            r = 2.0 * grasp_reward
+            touch = (tcp_to_obj < 0.02) & (grip > 0.0)
+            r = jnp.where(touch, r + 1.0 + r + 5.0 * in_place, r)
+            unscaled = jnp.where(target_d < _TARGET_RADIUS, 10.0, r)
+        elif self.category == "pick":
+            # Exact metaworld SawyerPickPlaceEnvV2.compute_reward:
+            # hamacher(caging, in_place), +1 + 5·in_place once touched,
+            # gripper open and the object lifted 1 cm off its spawn,
+            # snapped to 10 inside the target radius.
+            target_d = jnp.linalg.norm(obj - state["goal"])
+            in_place = _tolerance_exact(
+                target_d, _TARGET_RADIUS, jnp.linalg.norm(
+                    obj0 - state["goal"]
+                ),
+            )
+            grasp_reward = _gripper_caging_reward(
+                tcp, grip, a[3], obj, obj0,
+                obj_radius=0.015, pad_success_thresh=0.05,
+                xz_thresh=0.005, object_reach_radius=0.01,
+                density=None,
+            )
+            r = _hamacher(grasp_reward, in_place)
+            lifted = obj[2] - 0.01 > obj0[2]
+            touch = (tcp_to_obj < 0.02) & (grip > 0.0) & lifted
+            r = jnp.where(touch, r + 1.0 + 5.0 * in_place, r)
+            unscaled = jnp.where(target_d < _TARGET_RADIUS, 10.0, r)
         else:
             target_d = jnp.linalg.norm(obj - state["goal"])
             reach = _tolerance(tcp_to_obj, 0.08)
-            if self.category == "pick":
-                closed = 1.0 - grip
-                grasp_reward = jnp.where(
-                    near, reach * (0.5 + 0.5 * closed), reach * 0.5
-                )
-            else:
-                grasp_reward = reach
+            grasp_reward = reach
             in_place = _tolerance(target_d, 0.1)
             unscaled = _hamacher(grasp_reward, in_place)
         success = target_d < self.thr
         if self.category == "reach":
             reward = unscaled * 10.0  # metaworld reach has no override
+        elif self.category in ("push", "pick"):
+            reward = unscaled  # already on the 0-10 scale
         else:
             reward = jnp.where(success, 10.0, unscaled * 10.0)
 

@@ -94,7 +94,11 @@ def test_pick_place_grasp_and_success():
             st, jnp.asarray(a, jnp.float32), jax.random.fold_in(key, t)
         )
         st = out.state
-        if float(out.obs["info:success"]) == 1.0:
+        # The reward snaps to 10 at the metaworld TARGET_RADIUS (0.05);
+        # info:success uses the task threshold (0.07 for pick-place) —
+        # the upstream envs genuinely differ here, so drive all the way
+        # inside the smaller radius.
+        if float(out.obs["info:obj_to_target"]) < 0.05:
             break
     assert float(out.obs["info:success"]) == 1.0, (
         np.asarray(st["obj_pos"]), np.asarray(st["goal"])
@@ -174,3 +178,128 @@ def test_reach_reward_matches_published_formula():
             float(out.reward), want, rtol=1e-5, atol=1e-5,
             err_msg=f"step {t}",
         )
+
+
+def _scalar_tolerance(d, bound, margin, lo=0.0, va=0.1):
+    """Plain-Python long_tail tolerance (independent of the env code)."""
+    import math
+
+    if lo <= d <= bound:
+        return 1.0
+    x = ((d - bound) if d > bound else (lo - d)) / max(margin, 1e-8)
+    return 1.0 / ((x * math.sqrt(1.0 / va - 1.0)) ** 2 + 1.0)
+
+
+def _scalar_hamacher(a, b):
+    den = a + b - a * b
+    return a * b / den if den > 0 else 0.0
+
+
+def _scalar_caging(tcp, grip, a_grip, obj, obj_init, density):
+    """Independent scalar metaworld _gripper_caging_reward (same pad
+    model: pads at tcp.y ± (0.01 + 0.04·open), init pads fully open)."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+    half = 0.01 + 0.04 * grip
+    d_left = (tcp[1] + half) - obj[1]
+    d_right = obj[1] - (tcp[1] - half)
+    m_left = abs(abs(obj[1] - (hand_init[1] + 0.05)) - 0.05)
+    m_right = abs(abs(obj[1] - (hand_init[1] - 0.05)) - 0.05)
+    y_cage = _scalar_hamacher(
+        _scalar_tolerance(d_left, 0.05, m_left, lo=0.015),
+        _scalar_tolerance(d_right, 0.05, m_right, lo=0.015),
+    )
+    xz = [0, 2]
+    xz_margin = (
+        float(np.linalg.norm(obj_init[xz] - hand_init[xz])) - 0.005
+    )
+    xz_cage = _scalar_tolerance(
+        float(np.linalg.norm(tcp[xz] - obj[xz])), 0.005, xz_margin
+    )
+    caging = _scalar_hamacher(y_cage, xz_cage)
+    gripping = min(max(a_grip, 0.0), 1.0) if caging > 0.97 else 0.0
+    cg = _scalar_hamacher(caging, gripping)
+    if density == "high":
+        return (cg + caging) / 2.0
+    if density == "medium":
+        reach_margin = abs(
+            float(np.linalg.norm(obj_init - hand_init)) - 0.01
+        )
+        reach = _scalar_tolerance(
+            float(np.linalg.norm(obj - tcp)), 0.01, reach_margin
+        )
+        return (cg + reach) / 2.0
+    return cg
+
+
+def _rollout_vs_scalar(task, scalar_reward, seed):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from envpool_tpu.core.registry import registry
+
+    env = registry._env(task, num_envs=1)
+    st, obs = env.reset_env(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    for t in range(30):
+        a = rng.uniform(-1, 1, 4).astype(np.float32)
+        # Bias toward the object half the time so caging terms light up.
+        if t % 2:
+            direction = np.asarray(st["obj_pos"]) - np.asarray(st["tcp"])
+            a[:3] = np.clip(direction * 60.0, -1, 1)
+            a[3] = 0.8
+        out = env.step_env(st, jnp.asarray(a), jax.random.PRNGKey(t))
+        want = scalar_reward(
+            np.asarray(out.state["tcp"], np.float64),
+            float(out.state["grip"]),
+            float(a[3]),
+            np.asarray(out.state["obj_pos"], np.float64),
+            np.asarray(out.state["obj0"], np.float64),
+            np.asarray(out.state["goal"], np.float64),
+        )
+        np.testing.assert_allclose(
+            float(out.reward), want, rtol=1e-4, atol=1e-5,
+            err_msg=f"{task} step {t}",
+        )
+        st = out.state
+
+
+def test_push_reward_matches_published_formula():
+    """Exact SawyerPushEnvV2.compute_reward: 2·caging(high), tripled
+    plus one with 5·in_place on touch, snapped to 10 at the target."""
+    import numpy as np
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        target_d = float(np.linalg.norm(obj - goal))
+        in_place = _scalar_tolerance(
+            target_d, 0.05, float(np.linalg.norm(obj0 - goal))
+        )
+        og = _scalar_caging(tcp, grip, a_grip, obj, obj0, "high")
+        r = 2.0 * og
+        if float(np.linalg.norm(tcp - obj)) < 0.02 and grip > 0:
+            r = r + 1.0 + r + 5.0 * in_place
+        return 10.0 if target_d < 0.05 else r
+
+    _rollout_vs_scalar("MetaWorld/Push-v3", scalar, 5)
+
+
+def test_pick_place_reward_matches_published_formula():
+    """Exact SawyerPickPlaceEnvV2.compute_reward: hamacher(caging,
+    in_place), +1+5·in_place once touched+open+lifted, snap to 10."""
+    import numpy as np
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        target_d = float(np.linalg.norm(obj - goal))
+        in_place = _scalar_tolerance(
+            target_d, 0.05, float(np.linalg.norm(obj0 - goal))
+        )
+        og = _scalar_caging(tcp, grip, a_grip, obj, obj0, None)
+        r = _scalar_hamacher(og, in_place)
+        touched = float(np.linalg.norm(tcp - obj)) < 0.02
+        if touched and grip > 0 and obj[2] - 0.01 > obj0[2]:
+            r = r + 1.0 + 5.0 * in_place
+        return 10.0 if target_d < 0.05 else r
+
+    _rollout_vs_scalar("MetaWorld/PickPlace-v3", scalar, 9)
