@@ -162,11 +162,23 @@ _T_CYC = jnp.asarray(CPU_TABLES[3])
 
 
 def make_machine(rom: np.ndarray) -> dict:
-    """Fresh machine state for a 4K ROM (PC ← reset vector $FFFC/D)."""
+    """Fresh machine state (PC ← reset vector $FFFC/D of the start bank).
+
+    ROM sizes: 4K (plain), 8K (F8 bankswitching, hotspots $1FF8/$1FF9,
+    powers up in bank 1 as on Stella), 16K (F6, hotspots $1FF6-$1FF9,
+    powers up in bank 0).  Bank state lives in ``bank``; switching is
+    triggered by data/jump accesses to the hotspot addresses
+    (step_instruction), the standard cartridge idiom.
+    """
     rom = np.asarray(rom, np.uint8)
-    assert rom.shape == (4096,)
-    pc = int(rom[0xFFC]) | (int(rom[0xFFD]) << 8)
+    n = rom.shape[0]
+    assert n in (4096, 8192, 16384), rom.shape
+    nbanks = n // 4096
+    start_bank = 1 if nbanks == 2 else 0
+    base = start_bank * 4096
+    pc = int(rom[base + 0xFFC]) | (int(rom[base + 0xFFD]) << 8)
     return {
+        "bank": jnp.int32(start_bank),
         "a": jnp.int32(0),
         "x": jnp.int32(0),
         "y": jnp.int32(0),
@@ -209,7 +221,13 @@ def _read(m: dict, rom: jax.Array, addr: jax.Array) -> jax.Array:
     is_rom = addr >= 0x1000
     is_swcha = addr == 0x280
     ram_v = _onehot_read(m["ram"], addr & 0x7F, 128)
-    rom_v = _onehot_read(rom, addr & 0xFFF, 4096)
+    nrom = rom.shape[0]
+    if nrom > 4096:  # banked cartridge: window = bank * 4K
+        rom_v = _onehot_read(
+            rom, m["bank"] * 4096 + (addr & 0xFFF), nrom
+        )
+    else:
+        rom_v = _onehot_read(rom, addr & 0xFFF, 4096)
     v = jnp.where(is_rom, rom_v, 0)
     v = jnp.where(is_ram, ram_v, v)
     v = jnp.where(is_swcha, m["swcha"], v)
@@ -514,8 +532,30 @@ def step_instruction(m: dict, rom: jax.Array) -> dict:
         next_pc,
     )
 
+    # Bankswitch hotspots (F8/F6): any data or jump-target access to
+    # $1FF8/$1FF9 (8K) or $1FF6-$1FF9 (16K) selects the matching bank.
+    # The access itself still reads the OLD bank (hardware order).
+    nrom = rom.shape[0]
+    if nrom > 4096:
+        nbanks = nrom // 4096
+        hot_base = 0xFF8 if nbanks == 2 else 0xFF6
+        acc = addr & 0x1FFF
+        off = (acc & 0xFFF) - hot_base
+        touches_mem = ~(
+            (mode == IMP) | (mode == ACC) | (mode == IMM) | (mode == REL)
+        )
+        is_hot = (
+            (acc >= 0x1000) & (off >= 0) & (off < nbanks) & touches_mem
+        )
+        new_bank = jnp.where(
+            is_hot, jnp.clip(off, 0, nbanks - 1), m["bank"]
+        ).astype(jnp.int32)
+    else:
+        new_bank = m["bank"]
+
     return {
         **m4,
+        "bank": new_bank,
         "a": new_a & 0xFF,
         "x": new_x & 0xFF,
         "y": new_y & 0xFF,

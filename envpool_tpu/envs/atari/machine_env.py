@@ -1,4 +1,5 @@
-"""Atari 2600 machine env: run a real 4K ROM through the full pipeline.
+"""Atari 2600 machine env: run a real cartridge ROM (2K/4K plain,
+8K F8 / 16K F6 bank-switched) through the full pipeline.
 
 The user-facing end of the emulation path: ``make("Machine2600-v0",
 rom_path=...)`` boots a cartridge on the vectorized 6502+TIA machine
@@ -124,13 +125,14 @@ class Machine2600Env(ArcadeEnv):
         rom_path = str(config["rom_path"])
         if not rom_path:
             raise ValueError(
-                "Machine2600-v0 needs rom_path= pointing at a 4K ROM "
+                "Machine2600-v0 needs rom_path= pointing at a cartridge ROM "
                 "(no ROM assets ship in this image)"
             )
         rom = np.fromfile(rom_path, np.uint8)
-        if rom.size not in (2048, 4096):
+        if rom.size not in (2048, 4096, 8192, 16384):
             raise ValueError(
-                f"{rom_path}: expected a 2K/4K cartridge, got {rom.size} B"
+                f"{rom_path}: expected a 2K/4K/8K(F8)/16K(F6) cartridge, "
+                f"got {rom.size} B"
             )
         if rom.size == 2048:
             rom = np.tile(rom, 2)  # 2K carts mirror into 4K

@@ -13,6 +13,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(
     0, os.path.join(os.path.dirname(__file__), "oracle_fixtures")
@@ -243,3 +244,48 @@ def test_decimal_mode_vectors_and_fuzz():
     rom[0xFFC] = 0x00
     rom[0xFFD] = 0xF0
     _run_lockstep(rom, 300, "decimal fuzz")
+
+
+def _trampoline(banks, hops, start_bank):
+    """Build a banked ROM whose code hops across banks via hotspot
+    reads, dropping a marker byte in RAM after each hop."""
+    rom = np.zeros(banks * 4096, np.uint8)
+    hot_base = 0xFF8 if banks == 2 else 0xFF6
+    pos = 0
+    cur = start_bank
+
+    def put(bank, at, bs):
+        rom[bank * 4096 + at : bank * 4096 + at + len(bs)] = bs
+
+    for i, nxt in enumerate(hops):
+        # marker i+1 in RAM $90+i, then LDA hotspot → switch to `nxt`.
+        put(cur, pos, [0xA9, i + 1, 0x85, 0x90 + i])
+        put(cur, pos + 4, [0xAD, (hot_base + nxt) & 0xFF, 0xFF])
+        pos += 7
+        cur = nxt
+    put(cur, pos, [0xA9, len(hops) + 1, 0x85, 0x90 + len(hops)])
+    spin = 0xF000 + pos + 4
+    put(cur, pos + 4, [0x4C, spin & 0xFF, spin >> 8])
+    put(start_bank, 0xFFC, [0x00, 0xF0])
+    return rom
+
+
+@pytest.mark.parametrize(
+    "banks,start,hops",
+    [(2, 1, [0, 1, 0]), (4, 0, [2, 3, 1, 0])],
+    ids=["F8-8K", "F6-16K"],
+)
+def test_bankswitching_trampoline(banks, start, hops):
+    """F8/F6 hotspot accesses switch the mapped 4K window; execution
+    falls through into the new bank at the same PC (the standard
+    cartridge trampoline), leaving one marker per bank visited."""
+    rom = _trampoline(banks, hops, start)
+    m = cpu6502.make_machine(rom)
+    assert int(m["bank"]) == start
+    m = jax.jit(cpu6502.run, static_argnums=2)(
+        m, jnp.asarray(rom, jnp.int32), 4 * (len(hops) + 2)
+    )
+    ram = np.asarray(m["ram"])
+    want = list(range(1, len(hops) + 2))
+    assert list(ram[0x10 : 0x10 + len(want)]) == want, ram[0x10:0x18]
+    assert int(m["bank"]) == hops[-1]
