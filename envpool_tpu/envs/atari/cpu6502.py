@@ -155,10 +155,9 @@ def _build_tables():
 
 
 CPU_TABLES = _build_tables()
-_T_MODE = jnp.asarray(CPU_TABLES[0])
-_T_OP = jnp.asarray(CPU_TABLES[1])
-_T_SIZE = jnp.asarray(CPU_TABLES[2])
-_T_CYC = jnp.asarray(CPU_TABLES[3])
+# Packed [256, 4] decode table: one one-hot contraction yields
+# (mode, op, size, cycles) together instead of four separate reads.
+_T_PACKED = jnp.asarray(np.stack(CPU_TABLES, axis=1))
 
 
 def make_machine(rom: np.ndarray) -> dict:
@@ -199,6 +198,23 @@ def _onehot_read(table: jax.Array, idx: jax.Array, n: int) -> jax.Array:
     return (oh @ table.astype(jnp.float32)).astype(jnp.int32)
 
 
+def _rom_read(rom: jax.Array, idx: jax.Array) -> jax.Array:
+    """Factored two-level one-hot ROM read (row 64-chunk, then column).
+
+    A flat one-hot over a 4-16K ROM materializes [B, 4096+] floats per
+    read under vmap — HBM-bound (measured 5x the whole-step cost).  The
+    64-way factorization turns it into a [B, R] @ [R, 64] matmul plus a
+    64-wide select: 32-64x less traffic, and the matmul rides the MXU.
+    """
+    rom2d = rom.reshape(-1, 64).astype(jnp.float32)
+    r = rom2d.shape[0]
+    oh_hi = jax.nn.one_hot(jnp.clip(idx >> 6, 0, r - 1), r,
+                           dtype=jnp.float32)
+    row = oh_hi @ rom2d
+    oh_lo = jax.nn.one_hot(idx & 63, 64, dtype=jnp.float32)
+    return (row * oh_lo).sum().astype(jnp.int32)
+
+
 def _ram_sel(addr: jax.Array) -> jax.Array:
     """RIOT RAM chip select: A12=0, A9=0, A7=1 — $80-$FF plus the $180-$1FF
     mirror the 6502 stack page lives in on a real 2600."""
@@ -221,13 +237,10 @@ def _read(m: dict, rom: jax.Array, addr: jax.Array) -> jax.Array:
     is_rom = addr >= 0x1000
     is_swcha = addr == 0x280
     ram_v = _onehot_read(m["ram"], addr & 0x7F, 128)
-    nrom = rom.shape[0]
-    if nrom > 4096:  # banked cartridge: window = bank * 4K
-        rom_v = _onehot_read(
-            rom, m["bank"] * 4096 + (addr & 0xFFF), nrom
-        )
+    if rom.shape[0] > 4096:  # banked cartridge: window = bank * 4K
+        rom_v = _rom_read(rom, m["bank"] * 4096 + (addr & 0xFFF))
     else:
-        rom_v = _onehot_read(rom, addr & 0xFFF, 4096)
+        rom_v = _rom_read(rom, addr & 0xFFF)
     v = jnp.where(is_rom, rom_v, 0)
     v = jnp.where(is_ram, ram_v, v)
     v = jnp.where(is_swcha, m["swcha"], v)
@@ -277,10 +290,11 @@ def step_instruction(m: dict, rom: jax.Array) -> dict:
     m = {**m, "tia_waddr": jnp.int32(-1)}  # fresh strobe capture
     pc = m["pc"]
     opcode = _read(m, rom, pc)
-    mode = _onehot_read(_T_MODE, opcode, 256)
-    op = _onehot_read(_T_OP, opcode, 256)
-    size = _onehot_read(_T_SIZE, opcode, 256)
-    cycles = _onehot_read(_T_CYC, opcode, 256)
+    dec = (
+        jax.nn.one_hot(jnp.clip(opcode, 0, 255), 256, dtype=jnp.float32)
+        @ _T_PACKED.astype(jnp.float32)
+    ).astype(jnp.int32)
+    mode, op, size, cycles = dec[0], dec[1], dec[2], dec[3]
     b1 = _read(m, rom, pc + 1)
     b2 = _read(m, rom, pc + 2)
     a, x, y, sp, p = m["a"], m["x"], m["y"], m["sp"], m["p"]

@@ -86,6 +86,8 @@ def attach_tia(m: dict) -> dict:
         "enabl_old": jnp.int32(0),
         # Collision latches CXM0P..CXPPMM ($0-$7), bits 7/6 as on hardware.
         "cx": jnp.zeros(8, jnp.int32),
+        # Sticky frame-wrap flag (VSYNC pulse ended while mid-frame).
+        "wrapped": jnp.bool_(False),
         "lines": jnp.zeros((VISIBLE_LINES, NREG), jnp.int32),
     }
 
@@ -193,16 +195,17 @@ def _collisions(rec) -> jax.Array:
     ])
 
 
-def step_tia(m: dict, rom: jax.Array) -> dict:
-    """One CPU instruction + beam bookkeeping.
+def _instr(m: dict, rom: jax.Array) -> dict:
+    """One CPU instruction + TIA beam bookkeeping (no line snapshot).
 
     Strobes are detected via the CPU core's last-TIA-write capture
     (``tia_waddr``), so STA WSYNC/RESPx/HMOVE work regardless of the
-    value written.
+    value written.  ``line_cycles`` accumulates past 76 (or is pinned
+    there by WSYNC); crossing the threshold marks the line as finished —
+    the caller applies ``_end_line``.
     """
     pre_cycles = m["cycles"]
-    pre_tia = m["tia"]
-    pre_vsync = pre_tia[0]
+    pre_vsync = m["tia"][0]
     m2 = cpu6502.step_instruction(m, rom)
     dcycles = m2["cycles"] - pre_cycles
 
@@ -260,37 +263,11 @@ def step_tia(m: dict, rom: jax.Array) -> dict:
     posm1 = jnp.where((t[0x29] & 2) != 0, _center(t[0x05], posp1), posm1)
 
     line_cycles = jnp.where(wsync, CYCLES_PER_LINE, line_cycles)
-    advance = line_cycles >= CYCLES_PER_LINE
-    # Snapshot the display registers at the END of the line; GRP/ENABL
-    # resolve through the VDEL selects.
-    grp0_disp = jnp.where((t[0x25] & 1) != 0, grp0_old, t[0x1B])
-    grp1_disp = jnp.where((t[0x26] & 1) != 0, grp1_old, t[0x1C])
-    enabl_disp = jnp.where((t[0x27] & 1) != 0, enabl_old, t[0x1F])
-    record = jnp.stack([
-        t[0x0D], t[0x0E], t[0x0F], t[0x08], t[0x09], t[0x0A],
-        t[0x06], t[0x07], grp0_disp, grp1_disp, posp0, posp1,
-        t[0x04], t[0x05], t[0x1D], t[0x1E], enabl_disp,
-        posm0, posm1, posbl,
-        t[0x0B], t[0x0C], t[0x28], t[0x29],
-    ])
-    vis = m["scanline"] - FIRST_VISIBLE
-    store = advance & (vis >= 0) & (vis < VISIBLE_LINES)
-    oh = jax.nn.one_hot(
-        jnp.clip(vis, 0, VISIBLE_LINES - 1), VISIBLE_LINES, dtype=jnp.int32
-    )
-    lines = jnp.where(
-        store,
-        m["lines"] * (1 - oh[:, None]) + oh[:, None] * record[None, :],
-        m["lines"],
-    )
-    # Collision latches accumulate per visible scanline; CXCLR resets.
+    # CXCLR acts immediately (mid-line read-then-clear idiom).
     cx = jnp.where(cxclr, jnp.zeros_like(m["cx"]), m["cx"])
-    cx = jnp.where(store, cx | _collisions(record), cx)
-    scanline = jnp.where(advance, m["scanline"] + 1, m["scanline"])
-    line_cycles = jnp.where(advance, line_cycles - CYCLES_PER_LINE,
-                            line_cycles)
-    # VSYNC pulse ending restarts the frame counter.
-    scanline = jnp.where(vsync_off, 3, scanline)
+    # VSYNC pulse ending resyncs the frame counter (wrap = frame done).
+    wrapped = m["wrapped"] | (vsync_off & (m["scanline"] > 3))
+    scanline = jnp.where(vsync_off, 3, m["scanline"])
     return {
         **m2,
         "scanline": scanline.astype(jnp.int32),
@@ -304,32 +281,138 @@ def step_tia(m: dict, rom: jax.Array) -> dict:
         "grp1_old": grp1_old.astype(jnp.int32),
         "enabl_old": enabl_old.astype(jnp.int32),
         "cx": cx.astype(jnp.int32),
-        "lines": lines,
+        "wrapped": wrapped,
     }
 
 
+def _make_record(m: dict) -> jax.Array:
+    """Snapshot the display registers (GRP/ENABL resolved through the
+    VDEL selects) into one [NREG] line record."""
+    t = m["tia"]
+    grp0_disp = jnp.where((t[0x25] & 1) != 0, m["grp0_old"], t[0x1B])
+    grp1_disp = jnp.where((t[0x26] & 1) != 0, m["grp1_old"], t[0x1C])
+    enabl_disp = jnp.where((t[0x27] & 1) != 0, m["enabl_old"], t[0x1F])
+    return jnp.stack([
+        t[0x0D], t[0x0E], t[0x0F], t[0x08], t[0x09], t[0x0A],
+        t[0x06], t[0x07], grp0_disp, grp1_disp, m["posp0"], m["posp1"],
+        t[0x04], t[0x05], t[0x1D], t[0x1E], enabl_disp,
+        m["posm0"], m["posm1"], m["posbl"],
+        t[0x0B], t[0x0C], t[0x28], t[0x29],
+    ])
+
+
+def _end_line(m: dict) -> tuple[dict, jax.Array, jax.Array]:
+    """Close the current scanline: snapshot, collision OR, advance.
+
+    Returns (machine, record, store) — ``store`` marks visible lines.
+    """
+    record = _make_record(m)
+    vis = m["scanline"] - FIRST_VISIBLE
+    store = (vis >= 0) & (vis < VISIBLE_LINES)
+    cx = jnp.where(store, m["cx"] | _collisions(record), m["cx"])
+    return (
+        {
+            **m,
+            "cx": cx,
+            "scanline": m["scanline"] + 1,
+            "line_cycles": m["line_cycles"] - CYCLES_PER_LINE,
+        },
+        record,
+        store,
+    )
+
+
+def step_tia(m: dict, rom: jax.Array) -> dict:
+    """One CPU instruction + beam bookkeeping (reference-level API).
+
+    Instruction-granular variant used by unit tests and single-step
+    debugging; ``run_frame`` uses the line-structured fast path instead
+    (identical semantics, one buffer write per line instead of per
+    instruction).
+    """
+    pre_line = m["scanline"]
+    buf = m["lines"]
+    m = {k: v for k, v in m.items() if k != "lines"}
+    m2 = _instr(m, rom)
+    advance = m2["line_cycles"] >= CYCLES_PER_LINE
+    m3, record, store = _end_line(m2)
+    store = store & advance
+    oh = jax.nn.one_hot(
+        jnp.clip(pre_line - FIRST_VISIBLE, 0, VISIBLE_LINES - 1),
+        VISIBLE_LINES, dtype=jnp.int32,
+    )
+    lines = jnp.where(
+        store,
+        buf * (1 - oh[:, None]) + oh[:, None] * record[None, :],
+        buf,
+    )
+    out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(advance, a, b), m3, m2
+    )
+    return {**out, "lines": lines}
+
+
+_LINE_BUDGET = 40  # ≥ 76 cycles / 2 cycles-per-instruction
+
+
 def run_frame(m: dict, rom: jax.Array, max_instructions: int) -> dict:
-    """Advance one frame under ``lax.fori_loop``.
+    """Advance one frame: ``lax.scan`` over 262 scanlines.
 
-    Stops at the frame boundary: 262 lines elapsed, or the ROM's next
-    VSYNC pulse wrapping the scanline counter (kernel loops signal frame
-    completion this way).  ``max_instructions`` bounds runaway ROMs."""
+    Each scan step runs a bounded ``while_loop`` of CPU instructions
+    until the line's 76 cycles are consumed (WSYNC pins the counter),
+    then emits that line's register snapshot as the scan output — the
+    frame buffer is written once per line, not once per instruction
+    (the naive form was HBM-bound on the [192, NREG] buffer).  Stops at
+    the frame boundary: 262 lines, or the ROM's next VSYNC pulse
+    (kernel loops signal frame completion this way).  A line with no
+    cycle progress is cut off after ``_LINE_BUDGET`` instructions.
+    ``max_instructions`` is kept for API compatibility (the line
+    structure itself bounds the work).
+    """
+    del max_instructions
+    # The frame buffer stays OUT of the instruction-level carry: the CPU
+    # core's masked-update tree_maps would otherwise drag the [192, NREG]
+    # buffer through HBM on every instruction.
+    lines0 = m["lines"]
+    m = {k: v for k, v in m.items() if k != "lines"}
 
-    def body(_, carry):
+    def line_body(carry, _):
         mm, done = carry
-        mm2 = step_tia(mm, rom)
-        wrapped = mm2["scanline"] < mm["scanline"]
-        done2 = done | wrapped | (mm2["scanline"] >= 262)
+
+        def cond(c):
+            s, n = c
+            return (s["line_cycles"] < CYCLES_PER_LINE) & (
+                n < _LINE_BUDGET
+            )
+
+        def body(c):
+            s, n = c
+            return _instr(s, rom), n + 1
+
+        mm2, _ = jax.lax.while_loop(cond, body, (mm, jnp.int32(0)))
+        mm2, record, store = _end_line(mm2)
+        done2 = done | mm2["wrapped"] | (mm2["scanline"] >= 262)
         out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(done, a, b), mm, mm2
         )
-        return out, done2
+        record = jnp.where(done | ~store, 0, record)
+        rowsel = jnp.where(
+            done | ~store, 0, 1
+        )
+        return (out, done2), (record, rowsel)
 
-    m = {**m, "scanline": jnp.int32(0)}
-    m, _ = jax.lax.fori_loop(
-        0, max_instructions, body, (m, jnp.bool_(False))
+    m = {**m, "scanline": jnp.int32(0), "wrapped": jnp.bool_(False)}
+    (m, _), (recs, rowsel) = jax.lax.scan(
+        line_body, (m, jnp.bool_(False)), None,
+        length=FIRST_VISIBLE + VISIBLE_LINES + 30,
     )
-    return m
+    # Iteration i handles scanline i (each step advances exactly one
+    # line), so visible rows are iterations 40..231; rows the frame
+    # never reached keep the previous frame's content.
+    new_rows = recs[FIRST_VISIBLE : FIRST_VISIBLE + VISIBLE_LINES]
+    written = rowsel[FIRST_VISIBLE : FIRST_VISIBLE + VISIBLE_LINES]
+    lines = jnp.where(written[:, None] != 0, new_rows, lines0)
+    return {**m, "lines": lines}
 
 
 def _luma(color: jax.Array) -> jax.Array:
@@ -338,7 +421,7 @@ def _luma(color: jax.Array) -> jax.Array:
 
 
 def render_frame(lines: jax.Array) -> jax.Array:
-    """[VISIBLE_LINES, NREG] register snapshots → [192, 160] uint8 gray.
+    """[VISIBLE_LINES(+1), NREG] register snapshots → [192, 160] gray.
 
     Compositing follows hardware priority: P0/M0 over P1/M1 over BL/PF
     over background, unless CTRLPF bit 2 (PFP) lifts PF/BL above the
@@ -372,5 +455,5 @@ def render_frame(lines: jax.Array) -> jax.Array:
             p1, c1), m1, c1), p0, c0), m0, c0), pf, pf_col), bl, cpf)
         return jnp.where(pfp, front, norm)
 
-    frame = jax.vmap(line_pixels)(lines)
+    frame = jax.vmap(line_pixels)(lines[:VISIBLE_LINES])
     return jnp.clip(frame, 0, 255).astype(jnp.uint8)
