@@ -212,7 +212,7 @@ def _rom_read(rom: jax.Array, idx: jax.Array) -> jax.Array:
                            dtype=jnp.float32)
     row = oh_hi @ rom2d
     oh_lo = jax.nn.one_hot(idx & 63, 64, dtype=jnp.float32)
-    return (row * oh_lo).sum().astype(jnp.int32)
+    return (row * oh_lo).sum(-1).astype(jnp.int32)
 
 
 def _ram_sel(addr: jax.Array) -> jax.Array:
@@ -223,8 +223,8 @@ def _ram_sel(addr: jax.Array) -> jax.Array:
     )
 
 
-def _read(m: dict, rom: jax.Array, addr: jax.Array) -> jax.Array:
-    """Bus read (branchless over the 2600 memory map).
+def _bus_nonrom(m: dict, addr: jax.Array) -> jax.Array:
+    """Non-ROM bus read; vectorizes over an index array ``addr`` [K].
 
     When the machine carries TIA beam state (``cx`` present, i.e. after
     ``tia.attach_tia``), the TIA read map decodes ``addr & 0xF`` as on
@@ -234,15 +234,10 @@ def _read(m: dict, rom: jax.Array, addr: jax.Array) -> jax.Array:
     """
     addr = addr & 0x1FFF
     is_ram = _ram_sel(addr)
-    is_rom = addr >= 0x1000
     is_swcha = addr == 0x280
-    ram_v = _onehot_read(m["ram"], addr & 0x7F, 128)
-    if rom.shape[0] > 4096:  # banked cartridge: window = bank * 4K
-        rom_v = _rom_read(rom, m["bank"] * 4096 + (addr & 0xFFF))
-    else:
-        rom_v = _rom_read(rom, addr & 0xFFF)
-    v = jnp.where(is_rom, rom_v, 0)
-    v = jnp.where(is_ram, ram_v, v)
+    oh = jax.nn.one_hot(addr & 0x7F, 128, dtype=jnp.float32)
+    ram_v = (oh @ m["ram"].astype(jnp.float32)).astype(jnp.int32)
+    v = jnp.where(is_ram, ram_v, 0)
     v = jnp.where(is_swcha, m["swcha"], v)
     inpt4 = m.get("inpt4", jnp.int32(0x80))
     inpt5 = m.get("inpt5", jnp.int32(0x80))
@@ -259,6 +254,26 @@ def _read(m: dict, rom: jax.Array, addr: jax.Array) -> jax.Array:
     else:
         v = jnp.where(addr == 0x3C, inpt4, v)
     return v & 0xFF
+
+
+def _rom_idx(m: dict, rom: jax.Array, addr: jax.Array) -> jax.Array:
+    """Cartridge-space index for ``addr`` (banked window when >4K)."""
+    if rom.shape[0] > 4096:
+        return m["bank"] * 4096 + (addr & 0xFFF)
+    return addr & 0xFFF
+
+
+def _read(m: dict, rom: jax.Array, addr: jax.Array) -> jax.Array:
+    """Full bus read, scalar or vectorized over an index array [K].
+
+    A [K] call groups its K ROM lookups into ONE two-level contraction
+    ([K,R]@[R,64] + 64-select); the per-instruction read plan batches
+    independent reads through here so a step costs 2 grouped ROM
+    matmuls instead of ~10 scalar ones.
+    """
+    a = addr & 0x1FFF
+    rom_v = _rom_read(rom, _rom_idx(m, rom, a))
+    return jnp.where(a >= 0x1000, rom_v, _bus_nonrom(m, a))
 
 
 def _write(m: dict, addr: jax.Array, value: jax.Array) -> dict:
@@ -289,14 +304,15 @@ def step_instruction(m: dict, rom: jax.Array) -> dict:
     """Execute ONE instruction; returns the new machine state."""
     m = {**m, "tia_waddr": jnp.int32(-1)}  # fresh strobe capture
     pc = m["pc"]
-    opcode = _read(m, rom, pc)
+    # Read plan round 1: the three instruction bytes in ONE grouped
+    # bus read (one two-level ROM contraction for all three).
+    fetch = _read(m, rom, jnp.stack([pc, pc + 1, pc + 2]))
+    opcode, b1, b2 = fetch[0], fetch[1], fetch[2]
     dec = (
         jax.nn.one_hot(jnp.clip(opcode, 0, 255), 256, dtype=jnp.float32)
         @ _T_PACKED.astype(jnp.float32)
     ).astype(jnp.int32)
     mode, op, size, cycles = dec[0], dec[1], dec[2], dec[3]
-    b1 = _read(m, rom, pc + 1)
-    b2 = _read(m, rom, pc + 2)
     a, x, y, sp, p = m["a"], m["x"], m["y"], m["sp"], m["p"]
 
     # --- effective address per mode (all computed; selected by id) -----
@@ -309,26 +325,38 @@ def step_instruction(m: dict, rom: jax.Array) -> dict:
     # (zp),Y and (zp,X): pointer reads from zero page — outside RAM on a
     # 2600 this reads TIA/zero, matching the bus model.
     izx_ptr = (b1 + x) & 0xFF
-    izx_lo = _read(m, rom, izx_ptr)
-    izx_hi = _read(m, rom, (izx_ptr + 1) & 0xFF)
-    izx_a = izx_lo | (izx_hi << 8)
-    izy_lo = _read(m, rom, b1)
-    izy_hi = _read(m, rom, (b1 + 1) & 0xFF)
-    izy_a = ((izy_lo | (izy_hi << 8)) + y) & 0xFFFF
-    # JMP (ind) with the 6502 page-wrap bug.
-    ind_lo = _read(m, rom, abs_addr)
-    ind_hi = _read(
-        m, rom, (abs_addr & 0xFF00) | ((abs_addr + 1) & 0xFF)
+    # Pointer reads are zero-page (never ROM): one vectorized non-ROM
+    # bus read covers both (zp,X) and (zp),Y pointer pairs.
+    zp_ptrs = _bus_nonrom(
+        m,
+        jnp.stack([izx_ptr, (izx_ptr + 1) & 0xFF, b1, (b1 + 1) & 0xFF]),
     )
-    ind_a = ind_lo | (ind_hi << 8)
+    izx_a = zp_ptrs[0] | (zp_ptrs[1] << 8)
+    izy_a = ((zp_ptrs[2] | (zp_ptrs[3] << 8)) + y) & 0xFFFF
 
-    addr = jnp.select(
+    # Pre-indirect effective address (IND lanes resolved below; a JMP
+    # (ind) never uses its operand, so reading mem at abs_addr for those
+    # lanes is harmless).
+    addr_pre = jnp.select(
         [mode == ZP, mode == ZPX, mode == ZPY, mode == ABS, mode == ABX,
          mode == ABY, mode == IZX, mode == IZY, mode == IND],
-        [zp_a, zpx_a, zpy_a, abs_addr, abx_a, aby_a, izx_a, izy_a, ind_a],
+        [zp_a, zpx_a, zpy_a, abs_addr, abx_a, aby_a, izx_a, izy_a,
+         abs_addr],
         jnp.int32(0),
     )
-    mem_v = _read(m, rom, addr)
+    # Read plan round 2: JMP-(ind) vector bytes (with the 6502
+    # page-wrap bug) + the memory operand, in one grouped bus read.
+    r2 = _read(
+        m, rom,
+        jnp.stack([
+            abs_addr,
+            (abs_addr & 0xFF00) | ((abs_addr + 1) & 0xFF),
+            addr_pre,
+        ]),
+    )
+    ind_a = r2[0] | (r2[1] << 8)
+    addr = jnp.where(mode == IND, ind_a, addr_pre)
+    mem_v = r2[2]
     operand = jnp.select(
         [mode == IMM, mode == ACC], [b1, a], mem_v
     )
@@ -436,13 +464,20 @@ def step_instruction(m: dict, rom: jax.Array) -> dict:
     is_plp = op == O_PLP
     is_rts = op == O_RTS
     is_rti = op == O_RTI
-    pull1 = _read(m3, rom, stack_pull_addr(sp2))
+    # Stack pulls: the stack page ($100-$1FF) is never ROM; one
+    # vectorized non-ROM read covers all three potential pulls.
     sp3 = jnp.where(
         is_pla | is_plp | is_rts | is_rti, (sp2 + 1) & 0xFF, sp2
     )
-    pull2 = _read(m3, rom, stack_pull_addr(sp3))
     sp4 = jnp.where(is_rts | is_rti, (sp3 + 1) & 0xFF, sp3)
-    pull3 = _read(m3, rom, stack_pull_addr(sp4))
+    pulls = _bus_nonrom(
+        m3,
+        jnp.stack([
+            stack_pull_addr(sp2), stack_pull_addr(sp3),
+            stack_pull_addr(sp4),
+        ]),
+    )
+    pull1, pull2, pull3 = pulls[0], pulls[1], pulls[2]
     sp5 = jnp.where(is_rti, (sp4 + 1) & 0xFF, sp4)
     new_sp = jnp.where(op == O_TXS, x, sp5)
     new_a = jnp.where(is_pla, pull1, new_a)
