@@ -1,32 +1,22 @@
 """Board-game env family (pgx-class)."""
 
-from .animal_shogi import AnimalShogiEnv
-from .backgammon import BackgammonEnv
-from .chess import ChessEnv
-from .game_2048 import Game2048Env
-from .gardner_chess import GardnerChessEnv
-from .go import GoEnv
-from .hex import HexEnv
-from .leduc import LeducHoldemEnv
-from .othello import OthelloEnv
-from .poker import KuhnPokerEnv
-from .shogi import ShogiEnv
-from .sparrow_mahjong import SparrowMahjongEnv
-from .turn_games import Connect4Env, TicTacToeEnv
+from .._lazy import lazy_exports
 
-__all__ = [
-    "AnimalShogiEnv",
-    "BackgammonEnv",
-    "ChessEnv",
-    "Connect4Env",
-    "GoEnv",
-    "HexEnv",
-    "Game2048Env",
-    "GardnerChessEnv",
-    "KuhnPokerEnv",
-    "LeducHoldemEnv",
-    "OthelloEnv",
-    "ShogiEnv",
-    "SparrowMahjongEnv",
-    "TicTacToeEnv",
-]
+_EXPORTS = {
+    "AnimalShogiEnv": "animal_shogi",
+    "BackgammonEnv": "backgammon",
+    "ChessEnv": "chess",
+    "Connect4Env": "turn_games",
+    "Game2048Env": "game_2048",
+    "GardnerChessEnv": "gardner_chess",
+    "GoEnv": "go",
+    "HexEnv": "hex",
+    "KuhnPokerEnv": "poker",
+    "LeducHoldemEnv": "leduc",
+    "OthelloEnv": "othello",
+    "ShogiEnv": "shogi",
+    "SparrowMahjongEnv": "sparrow_mahjong",
+    "TicTacToeEnv": "turn_games",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

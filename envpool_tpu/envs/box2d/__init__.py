@@ -1,7 +1,11 @@
 """Box2D-class env family (planar rigid-body reimplementations)."""
 
-from .bipedal_walker import BipedalWalkerEnv
-from .car_racing import CarRacingEnv
-from .lunar_lander import LunarLanderEnv
+from .._lazy import lazy_exports
 
-__all__ = ["BipedalWalkerEnv", "CarRacingEnv", "LunarLanderEnv"]
+_EXPORTS = {
+    "BipedalWalkerEnv": "bipedal_walker",
+    "CarRacingEnv": "car_racing",
+    "LunarLanderEnv": "lunar_lander",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

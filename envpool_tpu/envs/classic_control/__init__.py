@@ -1,17 +1,15 @@
 """Classic-control env family (TPU-native).
 
-Reference behavior: ``envpool/classic_control/*.h``.
-"""
+Reference behavior: ``envpool/classic_control/*.h``."""
 
-from .acrobot import AcrobotEnv
-from .cartpole import CartPoleEnv
-from .mountain_car import MountainCarContinuousEnv, MountainCarEnv
-from .pendulum import PendulumEnv
+from .._lazy import lazy_exports
 
-__all__ = [
-    "AcrobotEnv",
-    "CartPoleEnv",
-    "MountainCarContinuousEnv",
-    "MountainCarEnv",
-    "PendulumEnv",
-]
+_EXPORTS = {
+    "AcrobotEnv": "acrobot",
+    "CartPoleEnv": "cartpole",
+    "MountainCarContinuousEnv": "mountain_car",
+    "MountainCarEnv": "mountain_car",
+    "PendulumEnv": "pendulum",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

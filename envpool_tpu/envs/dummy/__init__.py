@@ -1,5 +1,9 @@
 """Dummy env family (dev fixture)."""
 
-from .dummy_env import DummyEnv
+from .._lazy import lazy_exports
 
-__all__ = ["DummyEnv"]
+_EXPORTS = {
+    "DummyEnv": "dummy_env",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

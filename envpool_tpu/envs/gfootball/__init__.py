@@ -13,6 +13,10 @@ flight, simple opponent policy, kickoff/goal rules — with the exact SMM
 observation encoding and scenario initial placements.  Documented
 approximation: not the GRF physics/AI."""
 
-from .football import FootballEnv
+from .._lazy import lazy_exports
 
-__all__ = ["FootballEnv"]
+_EXPORTS = {
+    "FootballEnv": "football",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

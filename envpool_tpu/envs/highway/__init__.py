@@ -1,34 +1,22 @@
 """Highway family — TPU-native reimplementation of envpool/highway."""
 
-from .net_tasks import (
-    IntersectionMultiAgentEnv,
-    ExitEnv,
-    IntersectionContinuousEnv,
-    IntersectionEnv,
-    MergeEnv,
-    RacetrackEnv,
-    RacetrackLargeEnv,
-    RacetrackOvalEnv,
-    RoundaboutEnv,
-    TwoWayEnv,
-    UTurnEnv,
-)
-from .scenarios import LaneKeepingEnv, ParkingEnv
-from .straight import HighwayEnv
+from .._lazy import lazy_exports
 
-__all__ = [
-    "ExitEnv",
-    "HighwayEnv",
-    "IntersectionContinuousEnv",
-    "IntersectionMultiAgentEnv",
-    "IntersectionEnv",
-    "LaneKeepingEnv",
-    "MergeEnv",
-    "ParkingEnv",
-    "RacetrackEnv",
-    "RacetrackLargeEnv",
-    "RacetrackOvalEnv",
-    "RoundaboutEnv",
-    "TwoWayEnv",
-    "UTurnEnv",
-]
+_EXPORTS = {
+    "ExitEnv": "net_tasks",
+    "HighwayEnv": "straight",
+    "IntersectionContinuousEnv": "net_tasks",
+    "IntersectionEnv": "net_tasks",
+    "IntersectionMultiAgentEnv": "net_tasks",
+    "LaneKeepingEnv": "scenarios",
+    "MergeEnv": "net_tasks",
+    "ParkingEnv": "scenarios",
+    "RacetrackEnv": "net_tasks",
+    "RacetrackLargeEnv": "net_tasks",
+    "RacetrackOvalEnv": "net_tasks",
+    "RoundaboutEnv": "net_tasks",
+    "TwoWayEnv": "net_tasks",
+    "UTurnEnv": "net_tasks",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

@@ -1,58 +1,32 @@
 """Jumanji-class env family."""
 
-from .cleaner import CleanerEnv
-from .combinatorial import (
-    CVRPEnv,
-    GraphColoringEnv,
-    KnapsackEnv,
-    MazeEnv,
-    TSPEnv,
-)
-from .puzzles import (
-    JumanjiGame2048Env,
-    MinesweeperEnv,
-    RubiksCubeEnv,
-    SlidingTilePuzzleEnv,
-    SudokuEnv,
-)
-from .multi_agent import (
-    ConnectorEnv,
-    LevelBasedForagingEnv,
-    RobotWarehouseEnv,
-)
-from .packing import FlatPackEnv, TetrisEnv
-from .scheduling import BinPackEnv, JobShopEnv, MultiCVRPEnv
-from .search import (
-    MMSTEnv,
-    PacManEnv,
-    SearchAndRescueEnv,
-    SokobanEnv,
-)
-from .snake import SnakeEnv
+from .._lazy import lazy_exports
 
-__all__ = [
-    "BinPackEnv",
-    "CVRPEnv",
-    "CleanerEnv",
-    "ConnectorEnv",
-    "JobShopEnv",
-    "MMSTEnv",
-    "MultiCVRPEnv",
-    "PacManEnv",
-    "SearchAndRescueEnv",
-    "SokobanEnv",
-    "FlatPackEnv",
-    "GraphColoringEnv",
-    "JumanjiGame2048Env",
-    "KnapsackEnv",
-    "LevelBasedForagingEnv",
-    "MazeEnv",
-    "MinesweeperEnv",
-    "RobotWarehouseEnv",
-    "RubiksCubeEnv",
-    "SlidingTilePuzzleEnv",
-    "SnakeEnv",
-    "SudokuEnv",
-    "TSPEnv",
-    "TetrisEnv",
-]
+_EXPORTS = {
+    "BinPackEnv": "scheduling",
+    "CVRPEnv": "combinatorial",
+    "CleanerEnv": "cleaner",
+    "ConnectorEnv": "multi_agent",
+    "FlatPackEnv": "packing",
+    "GraphColoringEnv": "combinatorial",
+    "JobShopEnv": "scheduling",
+    "JumanjiGame2048Env": "puzzles",
+    "KnapsackEnv": "combinatorial",
+    "LevelBasedForagingEnv": "multi_agent",
+    "MMSTEnv": "search",
+    "MazeEnv": "combinatorial",
+    "MinesweeperEnv": "puzzles",
+    "MultiCVRPEnv": "scheduling",
+    "PacManEnv": "search",
+    "RobotWarehouseEnv": "multi_agent",
+    "RubiksCubeEnv": "puzzles",
+    "SearchAndRescueEnv": "search",
+    "SlidingTilePuzzleEnv": "puzzles",
+    "SnakeEnv": "snake",
+    "SokobanEnv": "search",
+    "SudokuEnv": "puzzles",
+    "TSPEnv": "combinatorial",
+    "TetrisEnv": "packing",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

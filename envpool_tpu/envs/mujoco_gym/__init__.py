@@ -1,28 +1,19 @@
 """Gym-MuJoCo env family over the TPU-native physics engine."""
 
-from .humanoid import HumanoidEnv, HumanoidStandupEnv
-from .tasks import (
-    AntEnv,
-    HalfCheetahEnv,
-    HopperEnv,
-    InvertedDoublePendulumEnv,
-    InvertedPendulumEnv,
-    PusherEnv,
-    ReacherEnv,
-    SwimmerEnv,
-    Walker2dEnv,
-)
+from .._lazy import lazy_exports
 
-__all__ = [
-    "AntEnv",
-    "HumanoidEnv",
-    "HumanoidStandupEnv",
-    "HalfCheetahEnv",
-    "HopperEnv",
-    "InvertedDoublePendulumEnv",
-    "InvertedPendulumEnv",
-    "PusherEnv",
-    "ReacherEnv",
-    "SwimmerEnv",
-    "Walker2dEnv",
-]
+_EXPORTS = {
+    "AntEnv": "tasks",
+    "HalfCheetahEnv": "tasks",
+    "HopperEnv": "tasks",
+    "HumanoidEnv": "humanoid",
+    "HumanoidStandupEnv": "humanoid",
+    "InvertedDoublePendulumEnv": "tasks",
+    "InvertedPendulumEnv": "tasks",
+    "PusherEnv": "tasks",
+    "ReacherEnv": "tasks",
+    "SwimmerEnv": "tasks",
+    "Walker2dEnv": "tasks",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

@@ -8,9 +8,12 @@ MyoSuite core ids (finger/elbow/hand pose+reach, key turn, object hold,
 pen twirl, leg walking) with MyoSuite's env structure: muscle-activation
 actions in [0, 1] passed through first-order activation filters, dense
 pose/reach rewards with the standard solved bonus, Fixed/Random target
-variants.  Dynamics run on surrogate joint models (documented).
-"""
+variants.  Dynamics run on surrogate joint models (documented)."""
 
-from .tasks import MyoEnv
+from .._lazy import lazy_exports
 
-__all__ = ["MyoEnv"]
+_EXPORTS = {
+    "MyoEnv": "tasks",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

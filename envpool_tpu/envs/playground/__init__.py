@@ -15,23 +15,16 @@ episode lengths — while the rigid-body dynamics run on
 counts (dm_control quadruped for Go1/Barkour/Spot-class, dm_control
 humanoid for G1/H1/Apollo-class, operational-space arms for
 Panda/Aloha, the Shadow-hand servo bank for Leap).  Documented
-approximation: joint layouts differ from the Menagerie models.
-"""
+approximation: joint layouts differ from the Menagerie models."""
 
-from .locomotion import (
-    JoystickEnv,
-    GetupEnv,
-    HandstandEnv,
-)
-from .manipulation import (
-    ArmPickEnv,
-    CubeRotateEnv,
-)
+from .._lazy import lazy_exports
 
-__all__ = [
-    "ArmPickEnv",
-    "CubeRotateEnv",
-    "GetupEnv",
-    "HandstandEnv",
-    "JoystickEnv",
-]
+_EXPORTS = {
+    "ArmPickEnv": "manipulation",
+    "CubeRotateEnv": "manipulation",
+    "GetupEnv": "locomotion",
+    "HandstandEnv": "locomotion",
+    "JoystickEnv": "locomotion",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

@@ -12,9 +12,12 @@ reimplementations in three engines — grid (maze, heist, chaser, miner),
 scroller (bigfish, starpilot, fruitbot, dodgeball, bossfight,
 caveflyer, plunder) and platformer (coinrun, ninja, jumper, climber,
 leaper) — with procgen's reward schedules and terminal rules; pixel
-art is schematic (documented; not the procgen asset sprites).
-"""
+art is schematic (documented; not the procgen asset sprites)."""
 
-from .env import ProcgenEnv
+from .._lazy import lazy_exports
 
-__all__ = ["ProcgenEnv"]
+_EXPORTS = {
+    "ProcgenEnv": "env",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

@@ -1,20 +1,16 @@
 """Toy-text env family (TPU-native).
 
-Reference behavior: ``envpool/toy_text/*.h``.
-"""
+Reference behavior: ``envpool/toy_text/*.h``."""
 
-from .blackjack import BlackjackEnv
-from .catch import CatchEnv
-from .cliffwalking import CliffWalkingEnv
-from .frozen_lake import FrozenLakeEnv
-from .nchain import NChainEnv
-from .taxi import TaxiEnv
+from .._lazy import lazy_exports
 
-__all__ = [
-    "BlackjackEnv",
-    "CatchEnv",
-    "CliffWalkingEnv",
-    "FrozenLakeEnv",
-    "NChainEnv",
-    "TaxiEnv",
-]
+_EXPORTS = {
+    "BlackjackEnv": "blackjack",
+    "CatchEnv": "catch",
+    "CliffWalkingEnv": "cliffwalking",
+    "FrozenLakeEnv": "frozen_lake",
+    "NChainEnv": "nchain",
+    "TaxiEnv": "taxi",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)

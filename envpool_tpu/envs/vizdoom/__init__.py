@@ -11,9 +11,12 @@ wall columns + entity billboards) over per-scenario grid maps, with each
 scenario's entity logic and reward schedule (Basic, DeadlyCorridor,
 Deathmatch, DefendTheCenter, DefendTheLine, HealthGathering(+Supreme),
 MyWayHome, PredictPosition, TakeCover).  Documented approximation: not
-the Doom engine.
-"""
+the Doom engine."""
 
-from .doom_env import DoomEnv
+from .._lazy import lazy_exports
 
-__all__ = ["DoomEnv"]
+_EXPORTS = {
+    "DoomEnv": "doom_env",
+}
+
+__getattr__, __dir__, __all__ = lazy_exports(__name__, _EXPORTS)
