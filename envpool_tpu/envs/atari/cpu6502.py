@@ -581,9 +581,19 @@ def step_instruction(m: dict, rom: jax.Array) -> dict:
         next_pc,
     )
 
-    # Bankswitch hotspots (F8/F6): any data or jump-target access to
-    # $1FF8/$1FF9 (8K) or $1FF6-$1FF9 (16K) selects the matching bank.
-    # The access itself still reads the OLD bank (hardware order).
+    # Bankswitch hotspots (F8/F6): any access — data, jump target, or
+    # instruction FETCH — to $1FF8/$1FF9 (8K) or $1FF6-$1FF9 (16K)
+    # selects the matching bank.  Data accesses read the OLD bank (the
+    # operand was already fetched above; the value at a hotspot is
+    # junk either way).  Fetch-triggered switching is modeled by also
+    # testing the NEXT instruction's fetch address (new_pc): switching
+    # at end-of-step is observably identical to hardware's
+    # switch-at-fetch (the fetch itself then reads the new bank, as on
+    # a real cart).  Covers fall-through into a hotspot, taken
+    # branches landing on one, and JMP-to-hotspot trampolines.  Not
+    # modeled: operand bytes of a multi-byte instruction straddling a
+    # hotspot (instruction STARTING at hotspot-1) — no known cart
+    # relies on that.
     nrom = rom.shape[0]
     if nrom > 4096:
         nbanks = nrom // 4096
@@ -598,6 +608,12 @@ def step_instruction(m: dict, rom: jax.Array) -> dict:
         )
         new_bank = jnp.where(
             is_hot, jnp.clip(off, 0, nbanks - 1), m["bank"]
+        ).astype(jnp.int32)
+        facc = new_pc & 0x1FFF
+        foff = (facc & 0xFFF) - hot_base
+        fetch_hot = (facc >= 0x1000) & (foff >= 0) & (foff < nbanks)
+        new_bank = jnp.where(
+            fetch_hot, jnp.clip(foff, 0, nbanks - 1), new_bank
         ).astype(jnp.int32)
     else:
         new_bank = m["bank"]

@@ -378,6 +378,7 @@ def run_frame(m: dict, rom: jax.Array, max_instructions: int) -> dict:
 
     def line_body(carry, _):
         mm, done = carry
+        pre_line = mm["scanline"]
 
         def cond(c):
             s, n = c
@@ -396,21 +397,30 @@ def run_frame(m: dict, rom: jax.Array, max_instructions: int) -> dict:
             lambda a, b: jnp.where(done, a, b), mm, mm2
         )
         record = jnp.where(done | ~store, 0, record)
-        rowsel = jnp.where(
-            done | ~store, 0, 1
+        rowsel = jnp.where(done | ~store, 0, 1)
+        # A mid-iteration VSYNC resync (inside _instr) can bump the
+        # scanline counter without consuming an iteration, so the row
+        # index is the SCANLINE the line closed at, not the iteration
+        # position — rows are scattered by it below (advisor r4 #3).
+        row = jnp.clip(
+            mm2["scanline"] - 1 - FIRST_VISIBLE, 0, VISIBLE_LINES - 1
         )
-        return (out, done2), (record, rowsel)
+        return (out, done2), (record, rowsel, row)
 
     m = {**m, "scanline": jnp.int32(0), "wrapped": jnp.bool_(False)}
-    (m, _), (recs, rowsel) = jax.lax.scan(
+    (m, _), (recs, rowsel, rows) = jax.lax.scan(
         line_body, (m, jnp.bool_(False)), None,
         length=FIRST_VISIBLE + VISIBLE_LINES + 30,
     )
-    # Iteration i handles scanline i (each step advances exactly one
-    # line), so visible rows are iterations 40..231; rows the frame
-    # never reached keep the previous frame's content.
-    new_rows = recs[FIRST_VISIBLE : FIRST_VISIBLE + VISIBLE_LINES]
-    written = rowsel[FIRST_VISIBLE : FIRST_VISIBLE + VISIBLE_LINES]
+    # Scatter records into the frame buffer by scanline index (one-hot
+    # contraction: [LINES, ITERS] @ [ITERS, NREG]); rows the frame never
+    # reached keep the previous frame's content.
+    oh = (
+        jax.nn.one_hot(rows, VISIBLE_LINES, dtype=jnp.float32)
+        * rowsel[:, None]
+    )  # [ITERS, LINES]
+    new_rows = (oh.T @ recs.astype(jnp.float32)).astype(jnp.int32)
+    written = oh.sum(axis=0).astype(jnp.int32)
     lines = jnp.where(written[:, None] != 0, new_rows, lines0)
     return {**m, "lines": lines}
 

@@ -96,21 +96,23 @@ def _gripper_caging_reward(tcp, grip, a_grip, obj, obj_init, *,
     half = _PAD_HALF_CLOSED + (_PAD_HALF_OPEN - _PAD_HALF_CLOSED) * grip
     left_pad_y = tcp[1] + half
     right_pad_y = tcp[1] - half
-    init_left_y = _HAND_INIT[1] + _PAD_HALF_OPEN
-    init_right_y = _HAND_INIT[1] - _PAD_HALF_OPEN
-    delta_left = left_pad_y - obj[1]
-    delta_right = obj[1] - right_pad_y
+    # Published formula: unsigned |pad_y - obj_y| distances, and margins
+    # | |current pad_y - obj_init_y| - pad_success_thresh | (current pad
+    # vs INITIAL object y) — metaworld SawyerXYZEnv._gripper_caging_reward
+    # pad_to_obj_lr / pad_to_objinit_lr / caging_lr_margin.
+    pad_to_obj_l = jnp.abs(left_pad_y - obj[1])
+    pad_to_obj_r = jnp.abs(right_pad_y - obj[1])
     left_margin = jnp.abs(
-        jnp.abs(obj[1] - init_left_y) - pad_success_thresh
+        jnp.abs(left_pad_y - obj_init[1]) - pad_success_thresh
     )
     right_margin = jnp.abs(
-        jnp.abs(obj[1] - init_right_y) - pad_success_thresh
+        jnp.abs(right_pad_y - obj_init[1]) - pad_success_thresh
     )
     left_caging = _tolerance_exact(
-        delta_left, pad_success_thresh, left_margin, lo=obj_radius
+        pad_to_obj_l, pad_success_thresh, left_margin, lo=obj_radius
     )
     right_caging = _tolerance_exact(
-        delta_right, pad_success_thresh, right_margin, lo=obj_radius
+        pad_to_obj_r, pad_success_thresh, right_margin, lo=obj_radius
     )
     y_caging = _hamacher(left_caging, right_caging)
 

@@ -289,3 +289,33 @@ def test_bankswitching_trampoline(banks, start, hops):
     want = list(range(1, len(hops) + 2))
     assert list(ram[0x10 : 0x10 + len(want)]) == want, ram[0x10:0x18]
     assert int(m["bank"]) == hops[-1]
+
+
+def test_bankswitching_fetch_trigger():
+    """Instruction FETCH at a hotspot switches banks (Stella semantics:
+    the cart switches on any hotspot access, then the fetch reads the
+    NEW bank).  Bank 1 falls through into $1FF8 (hotspot for bank 0);
+    bank 0 must hold real code AT the hotspot address that runs next."""
+    rom = np.zeros(2 * 4096, np.uint8)
+
+    def put(bank, at, bs):
+        rom[bank * 4096 + at : bank * 4096 + at + len(bs)] = bs
+
+    # Bank 1 (power-up bank): marker $90=1, then code laid out so the
+    # NEXT instruction's fetch address is exactly $1FF8 (fall-through).
+    put(1, 0xFF2, [0xA9, 0x01, 0x85, 0x90, 0xEA, 0xEA])  # ends at $FF8
+    # Bank 0: at the hotspot itself, marker $91=2, then JMP to a spin
+    # loop at $F000 (the JMP doubles as bank 0's reset-vector bytes).
+    put(0, 0xFF8, [0xA9, 0x02, 0x85, 0x91])
+    put(0, 0xFFC, [0x4C, 0x00, 0xF0])
+    put(0, 0x000, [0x4C, 0x00, 0xF0])  # spin
+    put(1, 0xFFC, [0xF2, 0xFF])  # reset vector → $FFF2 (bank 1)
+    m = cpu6502.make_machine(rom)
+    assert int(m["bank"]) == 1
+    m = jax.jit(cpu6502.run, static_argnums=2)(
+        m, jnp.asarray(rom, jnp.int32), 12
+    )
+    ram = np.asarray(m["ram"])
+    assert ram[0x10] == 1, ram[0x10:0x14]  # bank-1 marker ($90)
+    assert ram[0x11] == 2, ram[0x10:0x14]  # bank-0 marker ($91)
+    assert int(m["bank"]) == 0

@@ -202,10 +202,13 @@ def _scalar_caging(tcp, grip, a_grip, obj, obj_init, density):
 
     hand_init = np.asarray([0.0, 0.6, 0.2])
     half = 0.01 + 0.04 * grip
-    d_left = (tcp[1] + half) - obj[1]
-    d_right = obj[1] - (tcp[1] - half)
-    m_left = abs(abs(obj[1] - (hand_init[1] + 0.05)) - 0.05)
-    m_right = abs(abs(obj[1] - (hand_init[1] - 0.05)) - 0.05)
+    left_pad_y = tcp[1] + half
+    right_pad_y = tcp[1] - half
+    # Published: unsigned |pad_y - obj_y|; margin from |pad_y - obj_init_y|.
+    d_left = abs(left_pad_y - obj[1])
+    d_right = abs(right_pad_y - obj[1])
+    m_left = abs(abs(left_pad_y - obj_init[1]) - 0.05)
+    m_right = abs(abs(right_pad_y - obj_init[1]) - 0.05)
     y_cage = _scalar_hamacher(
         _scalar_tolerance(d_left, 0.05, m_left, lo=0.015),
         _scalar_tolerance(d_right, 0.05, m_right, lo=0.015),
