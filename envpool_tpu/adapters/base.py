@@ -27,7 +27,25 @@ from ..core.engine import Engine, TimeStepDict
 from ..core.env import TpuEnv
 from ..core.env_spec import EnvSpec
 
-__all__ = ["EnvPoolBase"]
+__all__ = ["EnvPoolBase", "tile_frames"]
+
+
+def tile_frames(frames: np.ndarray) -> np.ndarray:
+    """Tile ``[B, H, W, 3]`` frames into one near-square grid image.
+
+    The human-mode viewer shows the whole batch at once (the reference
+    limits human mode to a single env, ``envpool/python/envpool.py:289-293``
+    — the grid is the batched generalization).
+    """
+    frames = np.asarray(frames)
+    b, h, w, c = frames.shape
+    cols = int(np.ceil(np.sqrt(b)))
+    rows = int(np.ceil(b / cols))
+    grid = np.zeros((rows * h, cols * w, c), frames.dtype)
+    for i in range(b):
+        r, cidx = divmod(i, cols)
+        grid[r * h : (r + 1) * h, cidx * w : (cidx + 1) * w] = frames[i]
+    return grid
 
 
 class EnvPoolBase:
@@ -259,12 +277,16 @@ class EnvPoolBase:
 
     # -- render ------------------------------------------------------------
 
-    def render(self, env_id: np.ndarray | None = None) -> np.ndarray:
+    def render(self, env_id: np.ndarray | None = None) -> np.ndarray | None:
         """Batched RGB frames ``[B, H, W, 3] uint8``.
 
         The analog of ``AsyncEnvPool::Render``
         (``core/async_envpool.h:183-222``) — but rasterized on device by a
         vmapped pure function instead of serial host loops.
+
+        With ``render_mode="human"`` (config key, reference behavior
+        ``envpool/python/envpool.py:264-295``) the batch is tiled into a
+        single grid image and shown in an OpenCV window; returns None.
         """
         if env_id is None:
             env_id = self.all_env_ids
@@ -278,7 +300,31 @@ class EnvPoolBase:
                 )
             )
         frames = self._render_fn(self._state.env_state, env_id)
-        return np.asarray(jax.device_get(frames))
+        out = np.asarray(jax.device_get(frames))
+        if self.config.get("render_mode", "rgb_array") == "human":
+            self._show_human_frame(tile_frames(out))
+            return None
+        return out
+
+    def _show_human_frame(self, frame: np.ndarray) -> None:
+        """Display one RGB frame in a (reused) OpenCV window.
+
+        Mirrors ``EnvPoolMixin._show_human_frame``
+        (``envpool/python/envpool.py:246-263``): guarded cv2 import, BGR
+        flip, 1 ms waitKey, window handle cached on the pool.
+        """
+        try:
+            import cv2
+        except ImportError as exc:
+            raise RuntimeError(
+                "render_mode='human' requires opencv-python to be installed"
+            ) from exc
+        window_name = getattr(
+            self, "_render_window_name", f"{self.__class__.__name__}-render"
+        )
+        cv2.imshow(window_name, np.ascontiguousarray(frame[:, :, ::-1]))
+        cv2.waitKey(1)
+        self._render_window_name = window_name
 
     # -- checkpoint / resume -----------------------------------------------
     #

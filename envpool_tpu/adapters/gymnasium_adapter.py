@@ -91,7 +91,7 @@ class GymnasiumEnvPool(EnvPoolBase, gymnasium.Env):
 
     @property
     def render_mode(self) -> str | None:
-        return getattr(self, "_render_mode", None)
+        return self.config.get("render_mode", "rgb_array")
 
     # -- gymnasium reset signature -----------------------------------------
 

@@ -65,6 +65,10 @@ COMMON_CONFIG: dict[str, Any] = {
     # Per-episode demo recording (the .lmp analog, adapters/record.py):
     # directory to write env_<id>_<episode>.npz action traces, "" = off.
     "record_dir": "",
+    # "rgb_array" (default: render() returns [B,H,W,3] uint8) or "human"
+    # (render() tiles the batch into an OpenCV window and returns None;
+    # reference behavior envpool/python/envpool.py:264-295).
+    "render_mode": "rgb_array",
 }
 
 

@@ -48,3 +48,48 @@ def test_render_unsupported_raises() -> None:
     env.reset()
     with pytest.raises(NotImplementedError, match="render"):
         env.render()
+
+
+def test_tile_frames_grid():
+    from envpool_tpu.adapters.base import tile_frames
+
+    frames = np.arange(5 * 2 * 3 * 3, dtype=np.uint8).reshape(5, 2, 3, 3)
+    grid = tile_frames(frames)
+    # 5 frames → 3 cols × 2 rows grid.
+    assert grid.shape == (4, 9, 3)
+    assert (grid[0:2, 0:3] == frames[0]).all()
+    assert (grid[0:2, 3:6] == frames[1]).all()
+    assert (grid[2:4, 0:3] == frames[3]).all()
+    assert (grid[2:4, 6:9] == 0).all()  # padding cell
+
+
+def test_render_mode_human_requires_cv2():
+    """With render_mode='human', render() routes through the viewer and
+    (without opencv in this image) raises the reference's RuntimeError."""
+    import pytest
+
+    import envpool_tpu
+
+    env = envpool_tpu.make_gymnasium(
+        "CartPole-v1", num_envs=2, render_mode="human"
+    )
+    env.reset()
+    assert env.render_mode == "human"
+    try:
+        import cv2
+    except ImportError:
+        with pytest.raises(RuntimeError, match="opencv"):
+            env.render()
+        return
+    shown = {}
+    orig_imshow, orig_waitkey = cv2.imshow, cv2.waitKey
+    cv2.imshow = lambda name, img: shown.update(name=name, img=img)
+    cv2.waitKey = lambda ms: 0
+    try:
+        out = env.render()
+    finally:
+        cv2.imshow, cv2.waitKey = orig_imshow, orig_waitkey
+    assert out is None
+    # Two CartPole frames tiled side by side (BGR-flipped by the viewer).
+    b, h, w, _ = 2, 400, 600, 3
+    assert shown["img"].shape == (h, 2 * w, 3)
