@@ -1,0 +1,783 @@
+"""Batched 6502+TIA frame kernel — the trainable-speed emulation path.
+
+``cpu6502.step_instruction`` + ``tia._instr`` are written scalar-per-
+machine and vectorized by ``vmap``; on TPU every instruction step then
+costs a full XLA dispatch round (~48 us at B=1024 — PLAN.md), three
+orders below the Lite cores.  This module re-expresses the SAME
+semantics as explicitly batched array code in a lane-last layout
+(batch on the 128-wide TPU lane dimension):
+
+* per-machine scalars are ``[B]`` vectors;
+* RAM/TIA/collision files are ``[128, B]`` / ``[64, B]`` / ``[8, B]``
+  (field on sublanes, machine on lanes) so per-lane byte reads are
+  mask-and-reduce VPU ops and STATIC register reads are free row
+  slices;
+* ROM reads ride the MXU: a one-hot ``[RH, B]`` row mask contracted
+  against the ``[RH, 64]`` chunked ROM, then a 64-wide select;
+* a whole video frame (262 line slots x bounded instruction loop)
+  runs inside ONE Pallas kernel with all state resident in VMEM —
+  zero HBM traffic and zero dispatch overhead per instruction.
+
+The pure-jnp twin (`frame_batched`) runs the identical batched step
+under ``lax.scan`` and is bit-compared against the vmapped
+``tia.run_frame`` in tests/test_machine_kernel.py; the Pallas kernel
+body IS `frame_batched`'s loop, so one equivalence proof covers both.
+
+Semantics source (behavioral spec, not copied code): the scalar
+implementations in ``cpu6502.py``/``tia.py``, themselves fuzz-locked
+against an independent scalar 6502.  Reference counterpart: ALE's
+emulator core consumed by ``envpool/atari/atari_env.h:193-209``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cpu6502, tia
+from .cpu6502 import (
+    ABS, ABX, ABY, ACC, CPU_TABLES, F_B, F_C, F_D, F_I, F_N, F_U, F_V,
+    F_Z, IMM, IMP, IND, IZX, IZY, REL, ZP, ZPX, ZPY,
+    O_ADC, O_AND, O_ASL, O_BCC, O_BCS, O_BEQ, O_BIT, O_BMI, O_BNE,
+    O_BPL, O_BRK, O_BVC, O_BVS, O_CLC, O_CLD, O_CLI, O_CLV, O_CMP,
+    O_CPX, O_CPY, O_DEC, O_DEX, O_DEY, O_EOR, O_INC, O_INX, O_INY,
+    O_JMP, O_JSR, O_LDA, O_LDX, O_LDY, O_LSR, O_NOP, O_ORA, O_PHA,
+    O_PHP, O_PLA, O_PLP, O_ROL, O_ROR, O_RTI, O_RTS, O_SBC, O_SEC,
+    O_SED, O_SEI, O_STA, O_STX, O_STY, O_TAX, O_TAY, O_TSX, O_TXA,
+    O_TXS, O_TYA,
+)
+from .tia import (
+    CYCLES_PER_LINE, FIRST_VISIBLE, NREG, VISIBLE_LINES,
+    R_COLUBK, R_COLUP0, R_COLUP1, R_COLUPF, R_CTRLPF, R_ENABL, R_ENAM0,
+    R_ENAM1, R_GRP0, R_GRP1, R_NUSIZ0, R_NUSIZ1, R_PF0, R_PF1, R_PF2,
+    R_POSBL, R_POSM0, R_POSM1, R_POSP0, R_POSP1, R_REFP0, R_REFP1,
+    R_RESMP0, R_RESMP1, _COPY_OFFSETS, _NUSIZ_COPIES, _NUSIZ_SCALE,
+)
+
+__all__ = ["build_tables", "frame_batched", "run_frame_fast"]
+
+_SLOTS = FIRST_VISIBLE + VISIBLE_LINES + 30  # 262, as tia.run_frame
+_BUDGET = 40  # tia._LINE_BUDGET
+
+# Scalar state fields, in packed-row order ([NS, B] kernel layout).
+SCALARS = (
+    "a", "x", "y", "sp", "pc", "p", "bank", "cycles", "tia_waddr",
+    "swcha", "inpt4", "scanline", "line_cycles", "posp0", "posp1",
+    "posm0", "posm1", "posbl", "grp0_old", "grp1_old", "enabl_old",
+    "wrapped",
+)
+NS = len(SCALARS)
+
+_i32 = jnp.int32
+_f32 = jnp.float32
+
+
+def build_tables(rom_np: np.ndarray) -> dict:
+    """Static per-ROM lookup tables (numpy; shared across the batch)."""
+    rom_np = np.asarray(rom_np, np.uint8)
+    n = rom_np.shape[0]
+    assert n in (4096, 8192, 16384), rom_np.shape
+    mode, op, size, cyc = CPU_TABLES
+    return {
+        "rom2d": rom_np.reshape(-1, 64).astype(np.float32),  # [RH, 64]
+        "decode": np.stack([mode, op, size, cyc], 1).astype(np.float32),
+        "nbanks": n // 4096,
+    }
+
+
+def _oh_rows(idx: jax.Array, n: int) -> jax.Array:
+    """[n, B] bool one-hot along sublanes for per-lane indices [B]."""
+    it = jax.lax.broadcasted_iota(_i32, (n, idx.shape[0]), 0)
+    return it == idx[None, :]
+
+
+def _rom_read(rom2d: jax.Array, bank: jax.Array, addr: jax.Array):
+    """Cartridge read at bus address ``addr`` [B] (already &0x1FFF)."""
+    rh = rom2d.shape[0]
+    idx = jnp.where(rh > 64, bank * 4096 + (addr & 0xFFF), addr & 0xFFF)
+    hi = idx >> 6
+    lo = idx & 63
+    mh = _oh_rows(hi, rh).astype(_f32)  # [RH, B]
+    rows = jax.lax.dot_general(
+        rom2d, mh, (((0,), (0,)), ((), ())),
+        preferred_element_type=_f32,
+    )  # [64, B]
+    ml = _oh_rows(lo, 64)
+    return (jnp.where(ml, rows, 0.0)).sum(0).astype(_i32)
+
+
+def _ram_sel(addr):
+    return (addr < 0x1000) & ((addr & 0x200) == 0) & ((addr & 0x80) == 0x80)
+
+
+def _ram_read(ram: jax.Array, addr: jax.Array) -> jax.Array:
+    """RAM byte at per-lane 7-bit offset; ram [128, B], addr [B]."""
+    mask = _oh_rows(addr & 0x7F, 128)
+    return jnp.where(mask, ram, 0).sum(0)
+
+
+def _bus_nonrom(s: dict, addr: jax.Array) -> jax.Array:
+    """Batched ``cpu6502._bus_nonrom`` with the TIA read map ($x0-$x7
+    collision latches, $xC/$xD INPT4/5)."""
+    addr = addr & 0x1FFF
+    v = jnp.where(_ram_sel(addr), _ram_read(s["ram"], addr), 0)
+    v = jnp.where(addr == 0x280, s["swcha"], v)
+    is_tia_rd = (addr < 0x1000) & ((addr & 0x80) == 0) & ((addr & 0x200) == 0)
+    idx = addr & 0x0F
+    cx_v = jnp.where(_oh_rows(jnp.clip(idx, 0, 7), 8), s["cx"], 0).sum(0)
+    tia_v = jnp.where(idx < 8, cx_v, 0)
+    tia_v = jnp.where(idx == 0xC, s["inpt4"], tia_v)
+    tia_v = jnp.where(idx == 0xD, 0x80, tia_v)
+    v = jnp.where(is_tia_rd, tia_v, v)
+    return v & 0xFF
+
+
+def _read(s: dict, rom2d: jax.Array, addr: jax.Array) -> jax.Array:
+    a = addr & 0x1FFF
+    return jnp.where(
+        a >= 0x1000, _rom_read(rom2d, s["bank"], a), _bus_nonrom(s, a)
+    )
+
+
+def _write(s: dict, addr: jax.Array, value: jax.Array, do: jax.Array):
+    """Masked bus write; returns (ram, tia, tia_waddr) merged by ``do``."""
+    addr = addr & 0x1FFF
+    value = value & 0xFF
+    is_ram = _ram_sel(addr) & do
+    is_tia = (addr < 0x40) & do
+    mr = _oh_rows(addr & 0x7F, 128) & is_ram[None, :]
+    ram = jnp.where(mr, value[None, :], s["ram"])
+    mt = _oh_rows(jnp.clip(addr, 0, 63), 64) & is_tia[None, :]
+    tia_f = jnp.where(mt, value[None, :], s["tia"])
+    waddr = jnp.where(is_tia, addr, s["tia_waddr"])
+    return ram, tia_f, waddr
+
+
+def _set_zn(p, v):
+    z = (v & 0xFF) == 0
+    n = (v & 0x80) != 0
+    p = p & ~((1 << F_Z) | (1 << F_N))
+    return p | z.astype(_i32) << F_Z | n.astype(_i32) << F_N
+
+
+def step_batched(s: dict, tables: dict) -> dict:
+    """One instruction for every lane — batched ``step_instruction``
+    (cpu6502.py:303) fused with the TIA beam bookkeeping
+    (tia.py::_instr).  All per-lane scalars are [B] vectors."""
+    rom2d = tables["rom2d"]
+    s = {**s, "tia_waddr": jnp.full_like(s["pc"], -1)}
+    pre_cycles = s["cycles"]
+    pre_vsync = s["tia"][0]
+    pc = s["pc"]
+    opcode = _read(s, rom2d, pc)
+    b1 = _read(s, rom2d, pc + 1)
+    b2 = _read(s, rom2d, pc + 2)
+    dec_oh = _oh_rows(jnp.clip(opcode, 0, 255), 256).astype(_f32)
+    dec = jax.lax.dot_general(
+        jnp.asarray(tables["decode"]), dec_oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=_f32,
+    ).astype(_i32)  # [4, B]
+    mode, op, size, cycles = dec[0], dec[1], dec[2], dec[3]
+    a, x, y, sp, p = s["a"], s["x"], s["y"], s["sp"], s["p"]
+
+    # --- effective address per mode -----------------------------------
+    abs_addr = b1 | (b2 << 8)
+    zp_a = b1
+    zpx_a = (b1 + x) & 0xFF
+    zpy_a = (b1 + y) & 0xFF
+    abx_a = (abs_addr + x) & 0xFFFF
+    aby_a = (abs_addr + y) & 0xFFFF
+    izx_ptr = (b1 + x) & 0xFF
+    p0 = _bus_nonrom(s, izx_ptr)
+    p1 = _bus_nonrom(s, (izx_ptr + 1) & 0xFF)
+    p2 = _bus_nonrom(s, b1)
+    p3 = _bus_nonrom(s, (b1 + 1) & 0xFF)
+    izx_a = p0 | (p1 << 8)
+    izy_a = ((p2 | (p3 << 8)) + y) & 0xFFFF
+    addr_pre = jnp.select(
+        [mode == ZP, mode == ZPX, mode == ZPY, mode == ABS, mode == ABX,
+         mode == ABY, mode == IZX, mode == IZY, mode == IND],
+        [zp_a, zpx_a, zpy_a, abs_addr, abx_a, aby_a, izx_a, izy_a,
+         abs_addr],
+        jnp.zeros_like(pc),
+    )
+    indl = _read(s, rom2d, abs_addr)
+    indh = _read(s, rom2d, (abs_addr & 0xFF00) | ((abs_addr + 1) & 0xFF))
+    mem_v = _read(s, rom2d, addr_pre)
+    ind_a = indl | (indh << 8)
+    addr = jnp.where(mode == IND, ind_a, addr_pre)
+    operand = jnp.select([mode == IMM, mode == ACC], [b1, a], mem_v)
+
+    # --- ALU ------------------------------------------------------------
+    carry = p >> F_C & 1
+    decimal = (p >> F_D & 1) != 0
+    adc_sum = a + operand + carry
+    adc_rb = adc_sum & 0xFF
+    adc_cb = (adc_sum > 0xFF).astype(_i32)
+    d_lo = (a & 0x0F) + (operand & 0x0F) + carry
+    d_hi = (a & 0xF0) + (operand & 0xF0)
+    lo_fix = d_lo > 0x09
+    d_hi = d_hi + jnp.where(lo_fix, 0x10, 0)
+    d_lo = d_lo + jnp.where(lo_fix, 0x06, 0)
+    adc_v_dec = ((~(a ^ operand) & (a ^ d_hi)) & 0x80) != 0
+    adc_n_dec = (d_hi & 0x80) != 0
+    hi_fix = d_hi > 0x90
+    d_hi = d_hi + jnp.where(hi_fix, 0x60, 0)
+    adc_c_dec = (d_hi > 0xF0).astype(_i32)
+    adc_r_dec = ((d_lo & 0x0F) | (d_hi & 0xF0)) & 0xFF
+    adc_r = jnp.where(decimal, adc_r_dec, adc_rb)
+    adc_c = jnp.where(decimal, adc_c_dec, adc_cb)
+    adc_v = jnp.where(
+        decimal, adc_v_dec, ((~(a ^ operand) & (a ^ adc_sum)) & 0x80) != 0
+    )
+    sbc_op = operand ^ 0xFF
+    sbc_sum = a + sbc_op + carry
+    sbc_rb = sbc_sum & 0xFF
+    sbc_c = (sbc_sum > 0xFF).astype(_i32)
+    sbc_v = ((~(a ^ sbc_op) & (a ^ sbc_sum)) & 0x80) != 0
+    s_lo = (a & 0x0F) - (operand & 0x0F) - (1 - carry)
+    lo_borrow = (s_lo & 0x10) != 0
+    s_lo = s_lo - jnp.where(lo_borrow, 6, 0)
+    s_hi = (a >> 4) - (operand >> 4) - lo_borrow.astype(_i32)
+    hi_borrow = (s_hi & 0x10) != 0
+    s_hi = s_hi - jnp.where(hi_borrow, 6, 0)
+    sbc_r_dec = ((s_lo & 0x0F) | ((s_hi & 0x0F) << 4)) & 0xFF
+    sbc_r = jnp.where(decimal, sbc_r_dec, sbc_rb)
+    asl_r = (operand << 1) & 0xFF
+    asl_c = operand >> 7 & 1
+    lsr_r = operand >> 1
+    lsr_c = operand & 1
+    rol_r = ((operand << 1) | carry) & 0xFF
+    ror_r = (operand >> 1) | (carry << 7)
+
+    is_cmp = (op == O_CMP) | (op == O_CPX) | (op == O_CPY)
+    cmp_src = jnp.select([op == O_CPX, op == O_CPY], [x, y], a)
+    cmp_d = (cmp_src - operand) & 0x1FF
+
+    # --- register updates ------------------------------------------------
+    new_a = jnp.select(
+        [op == O_LDA, op == O_AND, op == O_ORA, op == O_EOR, op == O_ADC,
+         op == O_SBC, op == O_TXA, op == O_TYA, op == O_PLA,
+         (op == O_ASL) & (mode == ACC), (op == O_LSR) & (mode == ACC),
+         (op == O_ROL) & (mode == ACC), (op == O_ROR) & (mode == ACC)],
+        [operand, a & operand, a | operand, a ^ operand, adc_r,
+         sbc_r, x, y, jnp.zeros_like(a),  # PLA patched below
+         asl_r, lsr_r, rol_r, ror_r],
+        a,
+    )
+    new_x = jnp.select(
+        [op == O_LDX, op == O_TAX, op == O_TSX, op == O_INX, op == O_DEX],
+        [operand, a, sp, (x + 1) & 0xFF, (x - 1) & 0xFF], x,
+    )
+    new_y = jnp.select(
+        [op == O_LDY, op == O_TAY, op == O_INY, op == O_DEY],
+        [operand, a, (y + 1) & 0xFF, (y - 1) & 0xFF], y,
+    )
+
+    # --- stack -----------------------------------------------------------
+    is_jsr = op == O_JSR
+    is_pha = op == O_PHA
+    is_php = op == O_PHP
+    ret_pc = (pc + 2) & 0xFFFF
+    push1_v = jnp.select(
+        [is_jsr, is_pha, is_php],
+        [ret_pc >> 8, a, p | (1 << F_B) | (1 << F_U)],
+        jnp.zeros_like(a),
+    )
+    do_push1 = is_jsr | is_pha | is_php
+    sp1 = jnp.where(do_push1, (sp - 1) & 0xFF, sp)
+    ram2, tia2, wa2 = _write(s, 0x100 + sp, push1_v, do_push1)
+    s2 = {**s, "ram": ram2, "tia": tia2, "tia_waddr": wa2}
+    ram3, tia3, wa3 = _write(s2, 0x100 + sp1, ret_pc & 0xFF, is_jsr)
+    s3 = {**s2, "ram": ram3, "tia": tia3, "tia_waddr": wa3}
+    sp2 = jnp.where(is_jsr, (sp1 - 1) & 0xFF, sp1)
+
+    is_pla = op == O_PLA
+    is_plp = op == O_PLP
+    is_rts = op == O_RTS
+    is_rti = op == O_RTI
+    sp3 = jnp.where(is_pla | is_plp | is_rts | is_rti, (sp2 + 1) & 0xFF, sp2)
+    sp4 = jnp.where(is_rts | is_rti, (sp3 + 1) & 0xFF, sp3)
+    pull1 = _bus_nonrom(s3, 0x100 + ((sp2 + 1) & 0xFF))
+    pull2 = _bus_nonrom(s3, 0x100 + ((sp3 + 1) & 0xFF))
+    pull3 = _bus_nonrom(s3, 0x100 + ((sp4 + 1) & 0xFF))
+    sp5 = jnp.where(is_rti, (sp4 + 1) & 0xFF, sp4)
+    new_sp = jnp.where(op == O_TXS, x, sp5)
+    new_a = jnp.where(is_pla, pull1, new_a)
+
+    # --- memory write-back ops -------------------------------------------
+    store_v = jnp.select(
+        [op == O_STA, op == O_STX, op == O_STY, op == O_INC, op == O_DEC,
+         op == O_ASL, op == O_LSR, op == O_ROL, op == O_ROR],
+        [a, x, y, (mem_v + 1) & 0xFF, (mem_v - 1) & 0xFF,
+         asl_r, lsr_r, rol_r, ror_r],
+        jnp.zeros_like(a),
+    )
+    do_store = (
+        (op == O_STA) | (op == O_STX) | (op == O_STY) | (op == O_INC)
+        | (op == O_DEC)
+        | (((op == O_ASL) | (op == O_LSR) | (op == O_ROL) | (op == O_ROR))
+           & (mode != ACC))
+    )
+    ram4, tia4, wa4 = _write(s3, addr, store_v, do_store)
+    s4 = {**s3, "ram": ram4, "tia": tia4, "tia_waddr": wa4}
+
+    # --- flags ------------------------------------------------------------
+    zn_src = jnp.select(
+        [op == O_LDA, op == O_LDX, op == O_LDY, op == O_AND, op == O_ORA,
+         op == O_EOR, op == O_ADC, op == O_SBC, op == O_TAX, op == O_TAY,
+         op == O_TXA, op == O_TYA, op == O_TSX, op == O_PLA, op == O_INX,
+         op == O_INY, op == O_DEX, op == O_DEY, op == O_INC, op == O_DEC,
+         op == O_ASL, op == O_LSR, op == O_ROL, op == O_ROR, is_cmp],
+        [new_a, new_x, new_y, new_a, new_a,
+         new_a, adc_rb, sbc_rb, new_x, new_y,
+         new_a, new_a, new_x, pull1, new_x,
+         new_y, new_x, new_y, (mem_v + 1) & 0xFF, (mem_v - 1) & 0xFF,
+         asl_r, lsr_r, rol_r, ror_r, cmp_d],
+        jnp.full_like(a, -1),
+    )
+    new_p = jnp.where(zn_src >= 0, _set_zn(p, zn_src), p)
+    new_c = jnp.select(
+        [op == O_ADC, op == O_SBC, is_cmp,
+         (op == O_ASL) | (op == O_ROL), (op == O_LSR) | (op == O_ROR),
+         op == O_CLC, op == O_SEC],
+        [adc_c, sbc_c, (cmp_src >= operand).astype(_i32),
+         asl_c, lsr_c, jnp.zeros_like(a), jnp.ones_like(a)],
+        p >> F_C & 1,
+    )
+    new_p = (new_p & ~(1 << F_C)) | (new_c << F_C)
+    new_v = jnp.select(
+        [op == O_ADC, op == O_SBC, op == O_CLV, op == O_BIT],
+        [adc_v.astype(_i32), sbc_v.astype(_i32), jnp.zeros_like(a),
+         operand >> 6 & 1],
+        p >> F_V & 1,
+    )
+    new_p = (new_p & ~(1 << F_V)) | (new_v << F_V)
+    bit_p = new_p & ~((1 << F_Z) | (1 << F_N))
+    bit_p = bit_p | jnp.where((a & operand) == 0, 1 << F_Z, 0)
+    bit_p = bit_p | ((operand >> 7 & 1) << F_N)
+    new_p = jnp.where(op == O_BIT, bit_p, new_p)
+    new_p = jnp.select(
+        [op == O_CLD, op == O_SED, op == O_CLI, op == O_SEI],
+        [new_p & ~(1 << F_D), new_p | (1 << F_D),
+         new_p & ~(1 << F_I), new_p | (1 << F_I)],
+        new_p,
+    )
+    adc_dec = decimal & (op == O_ADC)
+    new_p = jnp.where(
+        adc_dec,
+        (new_p & ~(1 << F_N)) | (adc_n_dec.astype(_i32) << F_N),
+        new_p,
+    )
+    restored = (pull1 & ~(1 << F_B)) | (1 << F_U)
+    new_p = jnp.where(is_plp | is_rti, restored, new_p)
+
+    # --- control flow ------------------------------------------------------
+    next_pc = (pc + size) & 0xFFFF
+    rel = jnp.where(b1 < 0x80, b1, b1 - 256)
+    flag_of = {
+        O_BCC: (F_C, 0), O_BCS: (F_C, 1), O_BEQ: (F_Z, 1),
+        O_BNE: (F_Z, 0), O_BMI: (F_N, 1), O_BPL: (F_N, 0),
+        O_BVC: (F_V, 0), O_BVS: (F_V, 1),
+    }
+    branch_taken = jnp.zeros_like(a)
+    for bop, (bit, want) in flag_of.items():
+        t = (op == bop) & ((p >> bit & 1) == want)
+        branch_taken = branch_taken | t.astype(_i32)
+    branch_pc = (next_pc + rel) & 0xFFFF
+    rts_pc = ((pull1 | (pull2 << 8)) + 1) & 0xFFFF
+    rti_pc = (pull2 | (pull3 << 8)) & 0xFFFF
+    new_pc = jnp.select(
+        [op == O_JMP, is_jsr, is_rts, is_rti, branch_taken == 1,
+         op == O_BRK],
+        [addr, abs_addr, rts_pc, rti_pc, branch_pc, next_pc],
+        next_pc,
+    )
+
+    # --- bankswitch hotspots (data/jump access + next fetch) ---------------
+    nbanks = tables["nbanks"]
+    if nbanks > 1:
+        hot_base = 0xFF8 if nbanks == 2 else 0xFF6
+        acc = addr & 0x1FFF
+        off = (acc & 0xFFF) - hot_base
+        touches_mem = ~(
+            (mode == IMP) | (mode == ACC) | (mode == IMM) | (mode == REL)
+        )
+        is_hot = (acc >= 0x1000) & (off >= 0) & (off < nbanks) & touches_mem
+        new_bank = jnp.where(is_hot, jnp.clip(off, 0, nbanks - 1), s["bank"])
+        facc = new_pc & 0x1FFF
+        foff = (facc & 0xFFF) - hot_base
+        fetch_hot = (facc >= 0x1000) & (foff >= 0) & (foff < nbanks)
+        new_bank = jnp.where(
+            fetch_hot, jnp.clip(foff, 0, nbanks - 1), new_bank
+        ).astype(_i32)
+    else:
+        new_bank = s["bank"]
+
+    new_cycles = s["cycles"] + cycles
+
+    # ===== TIA beam bookkeeping (tia.py::_instr, batched) ==================
+    wrote = s4["tia_waddr"]
+    wsync = wrote == 0x02
+    resp0 = wrote == 0x10
+    resp1 = wrote == 0x11
+    resm0 = wrote == 0x12
+    resm1 = wrote == 0x13
+    resbl = wrote == 0x14
+    grp0_w = wrote == 0x1B
+    grp1_w = wrote == 0x1C
+    hmove = wrote == 0x2A
+    hmclr = wrote == 0x2B
+    cxclr = wrote == 0x2C
+    t = s4["tia"]
+    vsync_on = (t[0] & 0x02) != 0
+    vsync_off = ((pre_vsync & 0x02) != 0) & ~vsync_on
+
+    grp1_old = jnp.where(grp0_w, t[0x1C], s["grp1_old"])
+    grp0_old = jnp.where(grp1_w, t[0x1B], s["grp0_old"])
+    enabl_old = jnp.where(grp1_w, t[0x1F], s["enabl_old"])
+
+    dcycles = new_cycles - pre_cycles
+    line_cycles = s["line_cycles"] + dcycles
+    beam = jnp.clip(line_cycles * 3 - 68, 0, 159)
+    posp0 = jnp.where(resp0, beam, s["posp0"])
+    posp1 = jnp.where(resp1, beam, s["posp1"])
+    posm0 = jnp.where(resm0, beam, s["posm0"])
+    posm1 = jnp.where(resm1, beam, s["posm1"])
+    posbl = jnp.where(resbl, beam, s["posbl"])
+
+    def _signed_hm(v):
+        nib = (v >> 4) & 0xF
+        return jnp.where(nib >= 8, nib - 16, nib)
+
+    posp0 = jnp.where(hmove, (posp0 - _signed_hm(t[0x20])) % 160, posp0)
+    posp1 = jnp.where(hmove, (posp1 - _signed_hm(t[0x21])) % 160, posp1)
+    posm0 = jnp.where(hmove, (posm0 - _signed_hm(t[0x22])) % 160, posm0)
+    posm1 = jnp.where(hmove, (posm1 - _signed_hm(t[0x23])) % 160, posm1)
+    posbl = jnp.where(hmove, (posbl - _signed_hm(t[0x24])) % 160, posbl)
+    hm_row = jax.lax.broadcasted_iota(_i32, (64, 1), 0)
+    hm_keep = (hm_row < 0x20) | (hm_row >= 0x25)
+    tia_f = jnp.where(hmclr[None, :] & ~hm_keep, 0, t)
+    t = tia_f
+
+    def _center(nusiz, posp):
+        oh = _oh_rows(nusiz & 7, 8)
+        scale = jnp.where(oh, jnp.asarray(_NUSIZ_SCALE)[:, None], 0).sum(0)
+        return (posp + 4 * scale) % 160
+
+    posm0 = jnp.where((t[0x28] & 2) != 0, _center(t[0x04], posp0), posm0)
+    posm1 = jnp.where((t[0x29] & 2) != 0, _center(t[0x05], posp1), posm1)
+
+    line_cycles = jnp.where(wsync, CYCLES_PER_LINE, line_cycles)
+    cx = jnp.where(cxclr[None, :], 0, s["cx"])
+    wrapped = s["wrapped"] | (vsync_off & (s["scanline"] > 3))
+    scanline = jnp.where(vsync_off, 3, s["scanline"])
+
+    return {
+        "ram": s4["ram"],
+        "tia": tia_f,
+        "cx": cx,
+        "a": new_a & 0xFF,
+        "x": new_x & 0xFF,
+        "y": new_y & 0xFF,
+        "sp": new_sp & 0xFF,
+        "p": new_p & 0xFF,
+        "pc": new_pc,
+        "bank": new_bank,
+        "cycles": new_cycles,
+        "tia_waddr": s4["tia_waddr"],
+        "swcha": s["swcha"],
+        "inpt4": s["inpt4"],
+        "scanline": scanline.astype(_i32),
+        "line_cycles": line_cycles.astype(_i32),
+        "posp0": posp0.astype(_i32),
+        "posp1": posp1.astype(_i32),
+        "posm0": posm0.astype(_i32),
+        "posm1": posm1.astype(_i32),
+        "posbl": posbl.astype(_i32),
+        "grp0_old": grp0_old.astype(_i32),
+        "grp1_old": grp1_old.astype(_i32),
+        "enabl_old": enabl_old.astype(_i32),
+        "wrapped": wrapped,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Line structure (batched tia._make_record / _collisions / _end_line)
+# ---------------------------------------------------------------------------
+
+
+def _make_record(s: dict) -> jax.Array:
+    """[NREG, B] display-register snapshot with VDEL resolution."""
+    t = s["tia"]
+    grp0_disp = jnp.where((t[0x25] & 1) != 0, s["grp0_old"], t[0x1B])
+    grp1_disp = jnp.where((t[0x26] & 1) != 0, s["grp1_old"], t[0x1C])
+    enabl_disp = jnp.where((t[0x27] & 1) != 0, s["enabl_old"], t[0x1F])
+    return jnp.stack([
+        t[0x0D], t[0x0E], t[0x0F], t[0x08], t[0x09], t[0x0A],
+        t[0x06], t[0x07], grp0_disp, grp1_disp, s["posp0"], s["posp1"],
+        t[0x04], t[0x05], t[0x1D], t[0x1E], enabl_disp,
+        s["posm0"], s["posm1"], s["posbl"],
+        t[0x0B], t[0x0C], t[0x28], t[0x29],
+    ])
+
+
+def _line_masks(rec: jax.Array):
+    """Object masks [160, B] from a record [NREG, B]."""
+    b = rec.shape[1]
+    xx = jax.lax.broadcasted_iota(_i32, (160, b), 0)
+
+    def pf_mask():
+        pf0, pf1, pf2, ctrl = rec[R_PF0], rec[R_PF1], rec[R_PF2], rec[R_CTRLPF]
+        left_bit = xx // 4
+        reflect = (ctrl & 1) != 0
+        bit = jnp.where(
+            left_bit < 20, left_bit,
+            jnp.where(reflect[None, :], 39 - left_bit, left_bit - 20),
+        )
+        v0 = (pf0[None, :] >> (4 + bit)) & 1
+        v1 = (pf1[None, :] >> (7 - (bit - 4))) & 1
+        v2 = (pf2[None, :] >> (bit - 12)) & 1
+        v = jnp.where(bit < 4, v0, jnp.where(bit < 12, v1, v2))
+        return v != 0
+
+    def player_mask(grp, pos, nusiz, refp):
+        moh = _oh_rows(nusiz & 7, 8)  # [8, B]
+        has_copy = jnp.where(
+            moh[:, :, None], jnp.asarray(_NUSIZ_COPIES)[:, None, :], 0
+        ).sum(0)  # [B, 4]
+        scale = jnp.where(moh, jnp.asarray(_NUSIZ_SCALE)[:, None], 0).sum(0)
+        reflect = (refp & 0x08) != 0
+        on = jnp.zeros((160, b), bool)
+        offsets = np.asarray(_COPY_OFFSETS)
+        for c in range(4):
+            rel = xx - pos[None, :] - int(offsets[c])
+            inside = (rel >= 0) & (rel < (8 * scale)[None, :])
+            bitidx = jnp.clip(rel // jnp.maximum(scale, 1)[None, :], 0, 7)
+            bit = jnp.where(reflect[None, :], bitidx, 7 - bitidx)
+            bitv = (grp[None, :] >> bit) & 1
+            on = on | ((has_copy[:, c] > 0)[None, :] & inside & (bitv != 0))
+        return on
+
+    def missile_mask(enam, pos, nusiz, resmp):
+        w = 1 << ((nusiz >> 4) & 3)
+        rel = xx - pos[None, :]
+        on = ((enam & 2) != 0)[None, :] & (rel >= 0) & (rel < w[None, :])
+        return on & ((resmp & 2) == 0)[None, :]
+
+    def ball_mask():
+        w = 1 << ((rec[R_CTRLPF] >> 4) & 3)
+        rel = xx - rec[R_POSBL][None, :]
+        return ((rec[R_ENABL] & 2) != 0)[None, :] & (rel >= 0) & (
+            rel < w[None, :]
+        )
+
+    pf = pf_mask()
+    bl = ball_mask()
+    pl0 = player_mask(rec[R_GRP0], rec[R_POSP0], rec[R_NUSIZ0], rec[R_REFP0])
+    pl1 = player_mask(rec[R_GRP1], rec[R_POSP1], rec[R_NUSIZ1], rec[R_REFP1])
+    m0 = missile_mask(rec[R_ENAM0], rec[R_POSM0], rec[R_NUSIZ0],
+                      rec[R_RESMP0])
+    m1 = missile_mask(rec[R_ENAM1], rec[R_POSM1], rec[R_NUSIZ1],
+                      rec[R_RESMP1])
+    return pf, bl, pl0, pl1, m0, m1
+
+
+def _collisions(rec: jax.Array) -> jax.Array:
+    """[8, B] per-line collision contributions (tia._collisions)."""
+    pf, bl, pl0, pl1, m0, m1 = _line_masks(rec)
+
+    def hit(a_, b_):
+        return jnp.any(a_ & b_, axis=0).astype(_i32)
+
+    return jnp.stack([
+        (hit(m0, pl1) << 7) | (hit(m0, pl0) << 6),
+        (hit(m1, pl0) << 7) | (hit(m1, pl1) << 6),
+        (hit(pl0, pf) << 7) | (hit(pl0, bl) << 6),
+        (hit(pl1, pf) << 7) | (hit(pl1, bl) << 6),
+        (hit(m0, pf) << 7) | (hit(m0, bl) << 6),
+        (hit(m1, pf) << 7) | (hit(m1, bl) << 6),
+        hit(bl, pf) << 7,
+        (hit(pl0, pl1) << 7) | (hit(m0, m1) << 6),
+    ])
+
+
+def _merge(act: jax.Array, new: dict, old: dict) -> dict:
+    out = {}
+    for k, v in new.items():
+        o = old[k]
+        if v.ndim == 2:
+            out[k] = jnp.where(act[None, :], v, o)
+        else:
+            out[k] = jnp.where(act, v, o)
+    return out
+
+
+def _line_slot(s: dict, done: jax.Array, tables: dict):
+    """Advance every lane by one scanline (tia.run_frame's line_body).
+
+    Returns (s', done', record [NREG,B], rowsel [B], row [B]).
+    """
+
+    def cond(c):
+        s_, n = c
+        return jnp.any(
+            (s_["line_cycles"] < CYCLES_PER_LINE) & (n < _BUDGET)
+        )
+
+    def body(c):
+        s_, n = c
+        act = (s_["line_cycles"] < CYCLES_PER_LINE) & (n < _BUDGET)
+        s2 = step_batched(s_, tables)
+        return _merge(act, s2, s_), n + act.astype(_i32)
+
+    n0 = jnp.zeros_like(s["pc"])
+    s2, _ = jax.lax.while_loop(cond, body, (s, n0))
+
+    # _end_line: snapshot, collision OR, advance.
+    record = _make_record(s2)
+    vis = s2["scanline"] - FIRST_VISIBLE
+    store = (vis >= 0) & (vis < VISIBLE_LINES)
+    cx = jnp.where(
+        store[None, :], s2["cx"] | _collisions(record), s2["cx"]
+    )
+    s3 = {
+        **s2,
+        "cx": cx,
+        "scanline": s2["scanline"] + 1,
+        "line_cycles": s2["line_cycles"] - CYCLES_PER_LINE,
+    }
+    done2 = done | s3["wrapped"] | (s3["scanline"] >= 262)
+    out = _merge(~done, s3, s)
+    keep = ~done & store
+    record = jnp.where(keep[None, :], record, 0)
+    rowsel = keep.astype(_i32)
+    row = jnp.clip(out["scanline"] - 1 - FIRST_VISIBLE, 0, VISIBLE_LINES - 1)
+    row = jnp.where(keep, row, 0)
+    return out, done2, record, rowsel, row
+
+
+def frame_batched(s: dict, tables: dict):
+    """Pure-jnp batched frame: scan over line slots.
+
+    Input state is lane-last; returns (s', recs [S,NREG,B],
+    rowsel [S,B], rows [S,B]).  Bit-equivalent to
+    ``vmap(tia.run_frame)`` (tests/test_machine_kernel.py).
+    """
+    s = {
+        **s,
+        "scanline": jnp.zeros_like(s["scanline"]),
+        "wrapped": jnp.zeros_like(s["wrapped"]),
+    }
+    done0 = jnp.zeros(s["pc"].shape, bool)
+
+    def step(carry, _):
+        s_, d = carry
+        s2, d2, rec, rowsel, row = _line_slot(s_, d, tables)
+        return (s2, d2), (rec, rowsel, row)
+
+    (s, _), (recs, rowsel, rows) = jax.lax.scan(
+        step, (s, done0), None, length=_SLOTS
+    )
+    return s, recs, rowsel, rows
+
+
+def scatter_lines(lines0, recs, rowsel, rows):
+    """Merge per-slot records into the [B, 192, NREG] frame buffer.
+
+    ``recs`` [S, NREG, B], ``rowsel``/``rows`` [S, B]; rows are the
+    closing SCANLINE of each slot (visible-window index), so a VSYNC
+    resync can't skew the buffer.
+    """
+    oh = (
+        jax.nn.one_hot(rows, VISIBLE_LINES, dtype=_f32, axis=1)
+        * rowsel[:, None, :]
+    )  # [S, L, B]
+    new_rows = jnp.einsum(
+        "slb,skb->blk", oh, recs.astype(_f32)
+    ).astype(_i32)  # [B, L, NREG]
+    written = oh.sum(0).transpose(1, 0)  # [B, L]
+    return jnp.where(written[:, :, None] != 0, new_rows, lines0)
+
+
+# ---------------------------------------------------------------------------
+# Layout conversion and the public vmap-compatible entry point
+# ---------------------------------------------------------------------------
+
+_2D = {"ram": 128, "tia": 64, "cx": 8}
+
+
+def _to_lane_last(m: dict) -> tuple[dict, jax.Array]:
+    """[B]-leading machine pytree → lane-last state dict (+ lines)."""
+    s = {}
+    for k in SCALARS:
+        if k == "wrapped":
+            s[k] = m[k].astype(bool)
+        else:
+            s[k] = m[k].astype(_i32)
+    for k in _2D:
+        s[k] = m[k].transpose(1, 0).astype(_i32)
+    return s, m["lines"]
+
+
+def _from_lane_last(s: dict, lines: jax.Array, proto: dict) -> dict:
+    out = dict(proto)
+    for k in SCALARS:
+        out[k] = s[k].astype(proto[k].dtype)
+    for k in _2D:
+        out[k] = s[k].transpose(1, 0).astype(proto[k].dtype)
+    out["lines"] = lines
+    return out
+
+
+def _run_frame_batched(m: dict, rom2d_j, decode_j, nbanks: int) -> dict:
+    tables = {"rom2d": rom2d_j, "decode": decode_j, "nbanks": nbanks}
+    s, lines0 = _to_lane_last(m)
+    if jax.default_backend() == "tpu":
+        from .machine_pallas import frame_pallas
+
+        s2, recs, rowsel, rows = frame_pallas(s, tables)
+    else:
+        s2, recs, rowsel, rows = frame_batched(s, tables)
+    lines = scatter_lines(lines0, recs, rowsel, rows)
+    return _from_lane_last(s2, lines, m)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_run_frame(rom_bytes: bytes):
+    """Build the custom-vmap frame function for one ROM image.
+
+    Unbatched call = the scalar ``tia.run_frame`` (drop-in); under
+    ``vmap`` (the engine always vmaps) the batched lane-last kernel
+    runs instead — this is exactly what ``jax.custom_batching`` is for.
+    """
+    rom_np = np.frombuffer(rom_bytes, np.uint8)
+    tables = build_tables(rom_np)
+    rom_j = jnp.asarray(rom_np, jnp.int32)
+    rom2d_j = jnp.asarray(tables["rom2d"])
+    decode_j = jnp.asarray(tables["decode"])
+    nbanks = int(tables["nbanks"])
+
+    @jax.custom_batching.custom_vmap
+    def run_frame(m: dict) -> dict:
+        return tia.run_frame(m, rom_j, 0)
+
+    @run_frame.def_vmap
+    def _batched(axis_size, in_batched, m):  # noqa: ANN001
+        del axis_size
+        out = _run_frame_batched(m, rom2d_j, decode_j, nbanks)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return run_frame
+
+
+def run_frame_fast(m: dict, rom_np: np.ndarray) -> dict:
+    """Advance one frame; drop-in for ``tia.run_frame(m, rom, ipf)``.
+
+    Scalar when called directly; batched lane-last (Pallas on TPU)
+    under ``vmap``.
+    """
+    return _make_run_frame(np.asarray(rom_np, np.uint8).tobytes())(m)
