@@ -54,7 +54,7 @@ from .tia import (
     R_COLUBK, R_COLUP0, R_COLUP1, R_COLUPF, R_CTRLPF, R_ENABL, R_ENAM0,
     R_ENAM1, R_GRP0, R_GRP1, R_NUSIZ0, R_NUSIZ1, R_PF0, R_PF1, R_PF2,
     R_POSBL, R_POSM0, R_POSM1, R_POSP0, R_POSP1, R_REFP0, R_REFP1,
-    R_RESMP0, R_RESMP1, _COPY_OFFSETS, _NUSIZ_COPIES, _NUSIZ_SCALE,
+    R_RESMP0, R_RESMP1,
 )
 
 __all__ = ["build_tables", "frame_batched", "run_frame_fast"]
@@ -89,9 +89,19 @@ def build_tables(rom_np: np.ndarray) -> dict:
 
 
 def _oh_rows(idx: jax.Array, n: int) -> jax.Array:
-    """[n, B] bool one-hot along sublanes for per-lane indices [B]."""
-    it = jax.lax.broadcasted_iota(_i32, (n, idx.shape[0]), 0)
-    return it == idx[None, :]
+    """[n, B] bool one-hot along sublanes for [1, B] per-lane indices.
+
+    All per-lane "scalars" are [1, B] (never 1-D): Mosaic's vector
+    layout inference crashes joining 1-D layouts with implicit-dim
+    rank-2 layouts (VectorLayout::join assert, observed on v5e).
+    """
+    it = jax.lax.broadcasted_iota(_i32, (n, idx.shape[-1]), 0)
+    return it == idx
+
+
+# Toggled off when Mosaic rejects f32 MXU contractions inside the big
+# frame loop; the int path is pure VPU mask-reduce.
+_USE_MATMUL = True
 
 
 def _rom_read(rom2d: jax.Array, bank: jax.Array, addr: jax.Array):
@@ -100,13 +110,20 @@ def _rom_read(rom2d: jax.Array, bank: jax.Array, addr: jax.Array):
     idx = jnp.where(rh > 64, bank * 4096 + (addr & 0xFFF), addr & 0xFFF)
     hi = idx >> 6
     lo = idx & 63
-    mh = _oh_rows(hi, rh).astype(_f32)  # [RH, B]
-    rows = jax.lax.dot_general(
-        rom2d, mh, (((0,), (0,)), ((), ())),
-        preferred_element_type=_f32,
-    )  # [64, B]
     ml = _oh_rows(lo, 64)
-    return (jnp.where(ml, rows, 0.0)).sum(0).astype(_i32)
+    if _USE_MATMUL:
+        mh = _oh_rows(hi, rh).astype(_f32)  # [RH, B]
+        rows = jax.lax.dot_general(
+            rom2d, mh, (((0,), (0,)), ((), ())),
+            preferred_element_type=_f32,
+        )  # [64, B]
+        return (jnp.where(ml, rows, 0.0)).sum(0, keepdims=True).astype(_i32)
+    rom_i = rom2d.astype(_i32)  # [RH, 64]
+    mh = _oh_rows(hi, rh)  # [RH, B] bool
+    rows = (
+        jnp.where(mh[:, None, :], rom_i[:, :, None], 0).sum(0)
+    )  # [64, B]
+    return jnp.where(ml, rows, 0).sum(0, keepdims=True)
 
 
 def _ram_sel(addr):
@@ -116,7 +133,7 @@ def _ram_sel(addr):
 def _ram_read(ram: jax.Array, addr: jax.Array) -> jax.Array:
     """RAM byte at per-lane 7-bit offset; ram [128, B], addr [B]."""
     mask = _oh_rows(addr & 0x7F, 128)
-    return jnp.where(mask, ram, 0).sum(0)
+    return jnp.where(mask, ram, 0).sum(0, keepdims=True)
 
 
 def _bus_nonrom(s: dict, addr: jax.Array) -> jax.Array:
@@ -127,7 +144,9 @@ def _bus_nonrom(s: dict, addr: jax.Array) -> jax.Array:
     v = jnp.where(addr == 0x280, s["swcha"], v)
     is_tia_rd = (addr < 0x1000) & ((addr & 0x80) == 0) & ((addr & 0x200) == 0)
     idx = addr & 0x0F
-    cx_v = jnp.where(_oh_rows(jnp.clip(idx, 0, 7), 8), s["cx"], 0).sum(0)
+    cx_v = jnp.where(_oh_rows(jnp.clip(idx, 0, 7), 8), s["cx"], 0).sum(
+        0, keepdims=True
+    )
     tia_v = jnp.where(idx < 8, cx_v, 0)
     tia_v = jnp.where(idx == 0xC, s["inpt4"], tia_v)
     tia_v = jnp.where(idx == 0xD, 0x80, tia_v)
@@ -148,10 +167,10 @@ def _write(s: dict, addr: jax.Array, value: jax.Array, do: jax.Array):
     value = value & 0xFF
     is_ram = _ram_sel(addr) & do
     is_tia = (addr < 0x40) & do
-    mr = _oh_rows(addr & 0x7F, 128) & is_ram[None, :]
-    ram = jnp.where(mr, value[None, :], s["ram"])
-    mt = _oh_rows(jnp.clip(addr, 0, 63), 64) & is_tia[None, :]
-    tia_f = jnp.where(mt, value[None, :], s["tia"])
+    mr = _oh_rows(addr & 0x7F, 128) & is_ram
+    ram = jnp.where(mr, value, s["ram"])
+    mt = _oh_rows(jnp.clip(addr, 0, 63), 64) & is_tia
+    tia_f = jnp.where(mt, value, s["tia"])
     waddr = jnp.where(is_tia, addr, s["tia_waddr"])
     return ram, tia_f, waddr
 
@@ -163,6 +182,19 @@ def _set_zn(p, v):
     return p | z.astype(_i32) << F_Z | n.astype(_i32) << F_N
 
 
+
+def _select(conds, choices, default):
+    """``jnp.select`` semantics via nested wheres (first true wins).
+
+    jnp.select lowers through an int argmax that Mosaic cannot lower;
+    a reverse fold of jnp.where is equivalent and VPU-friendly.
+    """
+    out = default
+    for c, v in zip(reversed(conds), reversed(choices)):
+        out = jnp.where(c, v, out)
+    return out
+
+
 def step_batched(s: dict, tables: dict) -> dict:
     """One instruction for every lane — batched ``step_instruction``
     (cpu6502.py:303) fused with the TIA beam bookkeeping
@@ -170,17 +202,24 @@ def step_batched(s: dict, tables: dict) -> dict:
     rom2d = tables["rom2d"]
     s = {**s, "tia_waddr": jnp.full_like(s["pc"], -1)}
     pre_cycles = s["cycles"]
-    pre_vsync = s["tia"][0]
+    pre_vsync = s["tia"][0:1]
     pc = s["pc"]
     opcode = _read(s, rom2d, pc)
     b1 = _read(s, rom2d, pc + 1)
     b2 = _read(s, rom2d, pc + 2)
-    dec_oh = _oh_rows(jnp.clip(opcode, 0, 255), 256).astype(_f32)
-    dec = jax.lax.dot_general(
-        jnp.asarray(tables["decode"]), dec_oh, (((0,), (0,)), ((), ())),
-        preferred_element_type=_f32,
-    ).astype(_i32)  # [4, B]
-    mode, op, size, cycles = dec[0], dec[1], dec[2], dec[3]
+    if _USE_MATMUL:
+        dec_oh = _oh_rows(jnp.clip(opcode, 0, 255), 256).astype(_f32)
+        dec = jax.lax.dot_general(
+            jnp.asarray(tables["decode"]), dec_oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=_f32,
+        ).astype(_i32)  # [4, B]
+    else:
+        dec_oh = _oh_rows(jnp.clip(opcode, 0, 255), 256)  # [256, B]
+        dec_t = jnp.asarray(tables["decode"]).astype(_i32)  # [256, 4]
+        dec = jnp.where(
+            dec_oh[:, None, :], dec_t[:, :, None], 0
+        ).sum(0)  # [4, B]
+    mode, op, size, cycles = dec[0:1], dec[1:2], dec[2:3], dec[3:4]
     a, x, y, sp, p = s["a"], s["x"], s["y"], s["sp"], s["p"]
 
     # --- effective address per mode -----------------------------------
@@ -197,7 +236,7 @@ def step_batched(s: dict, tables: dict) -> dict:
     p3 = _bus_nonrom(s, (b1 + 1) & 0xFF)
     izx_a = p0 | (p1 << 8)
     izy_a = ((p2 | (p3 << 8)) + y) & 0xFFFF
-    addr_pre = jnp.select(
+    addr_pre = _select(
         [mode == ZP, mode == ZPX, mode == ZPY, mode == ABS, mode == ABX,
          mode == ABY, mode == IZX, mode == IZY, mode == IND],
         [zp_a, zpx_a, zpy_a, abs_addr, abx_a, aby_a, izx_a, izy_a,
@@ -209,7 +248,7 @@ def step_batched(s: dict, tables: dict) -> dict:
     mem_v = _read(s, rom2d, addr_pre)
     ind_a = indl | (indh << 8)
     addr = jnp.where(mode == IND, ind_a, addr_pre)
-    operand = jnp.select([mode == IMM, mode == ACC], [b1, a], mem_v)
+    operand = _select([mode == IMM, mode == ACC], [b1, a], mem_v)
 
     # --- ALU ------------------------------------------------------------
     carry = p >> F_C & 1
@@ -230,8 +269,13 @@ def step_batched(s: dict, tables: dict) -> dict:
     adc_r_dec = ((d_lo & 0x0F) | (d_hi & 0xF0)) & 0xFF
     adc_r = jnp.where(decimal, adc_r_dec, adc_rb)
     adc_c = jnp.where(decimal, adc_c_dec, adc_cb)
+    # Select between int32 flags, not i1 vectors: an i1-valued select
+    # hits Mosaic's "unsupported target bitwidth for truncation" when it
+    # sits on a loop-carried path (observed on v5e).
     adc_v = jnp.where(
-        decimal, adc_v_dec, ((~(a ^ operand) & (a ^ adc_sum)) & 0x80) != 0
+        decimal,
+        adc_v_dec.astype(_i32),
+        (((~(a ^ operand) & (a ^ adc_sum)) & 0x80) != 0).astype(_i32),
     )
     sbc_op = operand ^ 0xFF
     sbc_sum = a + sbc_op + carry
@@ -254,11 +298,11 @@ def step_batched(s: dict, tables: dict) -> dict:
     ror_r = (operand >> 1) | (carry << 7)
 
     is_cmp = (op == O_CMP) | (op == O_CPX) | (op == O_CPY)
-    cmp_src = jnp.select([op == O_CPX, op == O_CPY], [x, y], a)
+    cmp_src = _select([op == O_CPX, op == O_CPY], [x, y], a)
     cmp_d = (cmp_src - operand) & 0x1FF
 
     # --- register updates ------------------------------------------------
-    new_a = jnp.select(
+    new_a = _select(
         [op == O_LDA, op == O_AND, op == O_ORA, op == O_EOR, op == O_ADC,
          op == O_SBC, op == O_TXA, op == O_TYA, op == O_PLA,
          (op == O_ASL) & (mode == ACC), (op == O_LSR) & (mode == ACC),
@@ -268,11 +312,11 @@ def step_batched(s: dict, tables: dict) -> dict:
          asl_r, lsr_r, rol_r, ror_r],
         a,
     )
-    new_x = jnp.select(
+    new_x = _select(
         [op == O_LDX, op == O_TAX, op == O_TSX, op == O_INX, op == O_DEX],
         [operand, a, sp, (x + 1) & 0xFF, (x - 1) & 0xFF], x,
     )
-    new_y = jnp.select(
+    new_y = _select(
         [op == O_LDY, op == O_TAY, op == O_INY, op == O_DEY],
         [operand, a, (y + 1) & 0xFF, (y - 1) & 0xFF], y,
     )
@@ -282,7 +326,7 @@ def step_batched(s: dict, tables: dict) -> dict:
     is_pha = op == O_PHA
     is_php = op == O_PHP
     ret_pc = (pc + 2) & 0xFFFF
-    push1_v = jnp.select(
+    push1_v = _select(
         [is_jsr, is_pha, is_php],
         [ret_pc >> 8, a, p | (1 << F_B) | (1 << F_U)],
         jnp.zeros_like(a),
@@ -309,7 +353,7 @@ def step_batched(s: dict, tables: dict) -> dict:
     new_a = jnp.where(is_pla, pull1, new_a)
 
     # --- memory write-back ops -------------------------------------------
-    store_v = jnp.select(
+    store_v = _select(
         [op == O_STA, op == O_STX, op == O_STY, op == O_INC, op == O_DEC,
          op == O_ASL, op == O_LSR, op == O_ROL, op == O_ROR],
         [a, x, y, (mem_v + 1) & 0xFF, (mem_v - 1) & 0xFF,
@@ -326,7 +370,7 @@ def step_batched(s: dict, tables: dict) -> dict:
     s4 = {**s3, "ram": ram4, "tia": tia4, "tia_waddr": wa4}
 
     # --- flags ------------------------------------------------------------
-    zn_src = jnp.select(
+    zn_src = _select(
         [op == O_LDA, op == O_LDX, op == O_LDY, op == O_AND, op == O_ORA,
          op == O_EOR, op == O_ADC, op == O_SBC, op == O_TAX, op == O_TAY,
          op == O_TXA, op == O_TYA, op == O_TSX, op == O_PLA, op == O_INX,
@@ -340,7 +384,7 @@ def step_batched(s: dict, tables: dict) -> dict:
         jnp.full_like(a, -1),
     )
     new_p = jnp.where(zn_src >= 0, _set_zn(p, zn_src), p)
-    new_c = jnp.select(
+    new_c = _select(
         [op == O_ADC, op == O_SBC, is_cmp,
          (op == O_ASL) | (op == O_ROL), (op == O_LSR) | (op == O_ROR),
          op == O_CLC, op == O_SEC],
@@ -349,7 +393,7 @@ def step_batched(s: dict, tables: dict) -> dict:
         p >> F_C & 1,
     )
     new_p = (new_p & ~(1 << F_C)) | (new_c << F_C)
-    new_v = jnp.select(
+    new_v = _select(
         [op == O_ADC, op == O_SBC, op == O_CLV, op == O_BIT],
         [adc_v.astype(_i32), sbc_v.astype(_i32), jnp.zeros_like(a),
          operand >> 6 & 1],
@@ -360,7 +404,7 @@ def step_batched(s: dict, tables: dict) -> dict:
     bit_p = bit_p | jnp.where((a & operand) == 0, 1 << F_Z, 0)
     bit_p = bit_p | ((operand >> 7 & 1) << F_N)
     new_p = jnp.where(op == O_BIT, bit_p, new_p)
-    new_p = jnp.select(
+    new_p = _select(
         [op == O_CLD, op == O_SED, op == O_CLI, op == O_SEI],
         [new_p & ~(1 << F_D), new_p | (1 << F_D),
          new_p & ~(1 << F_I), new_p | (1 << F_I)],
@@ -390,7 +434,7 @@ def step_batched(s: dict, tables: dict) -> dict:
     branch_pc = (next_pc + rel) & 0xFFFF
     rts_pc = ((pull1 | (pull2 << 8)) + 1) & 0xFFFF
     rti_pc = (pull2 | (pull3 << 8)) & 0xFFFF
-    new_pc = jnp.select(
+    new_pc = _select(
         [op == O_JMP, is_jsr, is_rts, is_rti, branch_taken == 1,
          op == O_BRK],
         [addr, abs_addr, rts_pc, rti_pc, branch_pc, next_pc],
@@ -433,12 +477,12 @@ def step_batched(s: dict, tables: dict) -> dict:
     hmclr = wrote == 0x2B
     cxclr = wrote == 0x2C
     t = s4["tia"]
-    vsync_on = (t[0] & 0x02) != 0
+    vsync_on = (t[0:1] & 0x02) != 0
     vsync_off = ((pre_vsync & 0x02) != 0) & ~vsync_on
 
-    grp1_old = jnp.where(grp0_w, t[0x1C], s["grp1_old"])
-    grp0_old = jnp.where(grp1_w, t[0x1B], s["grp0_old"])
-    enabl_old = jnp.where(grp1_w, t[0x1F], s["enabl_old"])
+    grp1_old = jnp.where(grp0_w, t[0x1C:0x1D], s["grp1_old"])
+    grp0_old = jnp.where(grp1_w, t[0x1B:0x1C], s["grp0_old"])
+    enabl_old = jnp.where(grp1_w, t[0x1F:0x20], s["enabl_old"])
 
     dcycles = new_cycles - pre_cycles
     line_cycles = s["line_cycles"] + dcycles
@@ -453,27 +497,35 @@ def step_batched(s: dict, tables: dict) -> dict:
         nib = (v >> 4) & 0xF
         return jnp.where(nib >= 8, nib - 16, nib)
 
-    posp0 = jnp.where(hmove, (posp0 - _signed_hm(t[0x20])) % 160, posp0)
-    posp1 = jnp.where(hmove, (posp1 - _signed_hm(t[0x21])) % 160, posp1)
-    posm0 = jnp.where(hmove, (posm0 - _signed_hm(t[0x22])) % 160, posm0)
-    posm1 = jnp.where(hmove, (posm1 - _signed_hm(t[0x23])) % 160, posm1)
-    posbl = jnp.where(hmove, (posbl - _signed_hm(t[0x24])) % 160, posbl)
+    posp0 = jnp.where(hmove, (posp0 - _signed_hm(t[0x20:0x21])) % 160, posp0)
+    posp1 = jnp.where(hmove, (posp1 - _signed_hm(t[0x21:0x22])) % 160, posp1)
+    posm0 = jnp.where(hmove, (posm0 - _signed_hm(t[0x22:0x23])) % 160, posm0)
+    posm1 = jnp.where(hmove, (posm1 - _signed_hm(t[0x23:0x24])) % 160, posm1)
+    posbl = jnp.where(hmove, (posbl - _signed_hm(t[0x24:0x25])) % 160, posbl)
     hm_row = jax.lax.broadcasted_iota(_i32, (64, 1), 0)
     hm_keep = (hm_row < 0x20) | (hm_row >= 0x25)
-    tia_f = jnp.where(hmclr[None, :] & ~hm_keep, 0, t)
+    tia_f = jnp.where(hmclr & ~hm_keep, 0, t)
     t = tia_f
 
     def _center(nusiz, posp):
-        oh = _oh_rows(nusiz & 7, 8)
-        scale = jnp.where(oh, jnp.asarray(_NUSIZ_SCALE)[:, None], 0).sum(0)
+        mode7 = nusiz & 7
+        # _NUSIZ_SCALE = [1,1,1,1,1,2,1,4] as direct expressions.
+        scale = jnp.where(mode7 == 5, 2, jnp.where(mode7 == 7, 4, 1))
         return (posp + 4 * scale) % 160
 
-    posm0 = jnp.where((t[0x28] & 2) != 0, _center(t[0x04], posp0), posm0)
-    posm1 = jnp.where((t[0x29] & 2) != 0, _center(t[0x05], posp1), posm1)
+    posm0 = jnp.where(
+        (t[0x28:0x29] & 2) != 0, _center(t[0x04:0x05], posp0), posm0
+    )
+    posm1 = jnp.where(
+        (t[0x29:0x2A] & 2) != 0, _center(t[0x05:0x06], posp1), posm1
+    )
 
     line_cycles = jnp.where(wsync, CYCLES_PER_LINE, line_cycles)
-    cx = jnp.where(cxclr[None, :], 0, s["cx"])
-    wrapped = s["wrapped"] | (vsync_off & (s["scanline"] > 3))
+    cx = jnp.where(cxclr, 0, s["cx"])
+    # int32 0/1 flag (i1 vectors cannot cross Mosaic loop boundaries).
+    wrapped = s["wrapped"] | (
+        vsync_off & (s["scanline"] > 3)
+    ).astype(_i32)
     scanline = jnp.where(vsync_off, 3, s["scanline"])
 
     return {
@@ -513,15 +565,19 @@ def step_batched(s: dict, tables: dict) -> dict:
 def _make_record(s: dict) -> jax.Array:
     """[NREG, B] display-register snapshot with VDEL resolution."""
     t = s["tia"]
-    grp0_disp = jnp.where((t[0x25] & 1) != 0, s["grp0_old"], t[0x1B])
-    grp1_disp = jnp.where((t[0x26] & 1) != 0, s["grp1_old"], t[0x1C])
-    enabl_disp = jnp.where((t[0x27] & 1) != 0, s["enabl_old"], t[0x1F])
-    return jnp.stack([
-        t[0x0D], t[0x0E], t[0x0F], t[0x08], t[0x09], t[0x0A],
-        t[0x06], t[0x07], grp0_disp, grp1_disp, s["posp0"], s["posp1"],
-        t[0x04], t[0x05], t[0x1D], t[0x1E], enabl_disp,
+
+    def r(i):
+        return t[i : i + 1]
+
+    grp0_disp = jnp.where((r(0x25) & 1) != 0, s["grp0_old"], r(0x1B))
+    grp1_disp = jnp.where((r(0x26) & 1) != 0, s["grp1_old"], r(0x1C))
+    enabl_disp = jnp.where((r(0x27) & 1) != 0, s["enabl_old"], r(0x1F))
+    return jnp.concatenate([
+        r(0x0D), r(0x0E), r(0x0F), r(0x08), r(0x09), r(0x0A),
+        r(0x06), r(0x07), grp0_disp, grp1_disp, s["posp0"], s["posp1"],
+        r(0x04), r(0x05), r(0x1D), r(0x1E), enabl_disp,
         s["posm0"], s["posm1"], s["posbl"],
-        t[0x0B], t[0x0C], t[0x28], t[0x29],
+        r(0x0B), r(0x0C), r(0x28), r(0x29),
     ])
 
 
@@ -530,59 +586,64 @@ def _line_masks(rec: jax.Array):
     b = rec.shape[1]
     xx = jax.lax.broadcasted_iota(_i32, (160, b), 0)
 
+    def row(i):
+        return rec[i : i + 1]
+
     def pf_mask():
-        pf0, pf1, pf2, ctrl = rec[R_PF0], rec[R_PF1], rec[R_PF2], rec[R_CTRLPF]
+        pf0, pf1, pf2, ctrl = row(R_PF0), row(R_PF1), row(R_PF2), row(R_CTRLPF)
         left_bit = xx // 4
         reflect = (ctrl & 1) != 0
         bit = jnp.where(
             left_bit < 20, left_bit,
-            jnp.where(reflect[None, :], 39 - left_bit, left_bit - 20),
+            jnp.where(reflect, 39 - left_bit, left_bit - 20),
         )
-        v0 = (pf0[None, :] >> (4 + bit)) & 1
-        v1 = (pf1[None, :] >> (7 - (bit - 4))) & 1
-        v2 = (pf2[None, :] >> (bit - 12)) & 1
+        v0 = (pf0 >> (4 + bit)) & 1
+        v1 = (pf1 >> (7 - (bit - 4))) & 1
+        v2 = (pf2 >> (bit - 12)) & 1
         v = jnp.where(bit < 4, v0, jnp.where(bit < 12, v1, v2))
         return v != 0
 
     def player_mask(grp, pos, nusiz, refp):
-        moh = _oh_rows(nusiz & 7, 8)  # [8, B]
-        has_copy = jnp.where(
-            moh[:, :, None], jnp.asarray(_NUSIZ_COPIES)[:, None, :], 0
-        ).sum(0)  # [B, 4]
-        scale = jnp.where(moh, jnp.asarray(_NUSIZ_SCALE)[:, None], 0).sum(0)
+        mode7 = nusiz & 7
+        # _NUSIZ_COPIES/_NUSIZ_SCALE as direct boolean expressions
+        # (Pallas kernels cannot capture array constants).
+        scale = jnp.where(mode7 == 5, 2, jnp.where(mode7 == 7, 4, 1))
+        has = (
+            jnp.ones_like(mode7, bool),                      # +0
+            (mode7 == 1) | (mode7 == 3),                     # +16
+            (mode7 == 2) | (mode7 == 3) | (mode7 == 6),      # +32
+            (mode7 == 4) | (mode7 == 6),                     # +64
+        )
         reflect = (refp & 0x08) != 0
         on = jnp.zeros((160, b), bool)
-        offsets = np.asarray(_COPY_OFFSETS)
-        for c in range(4):
-            rel = xx - pos[None, :] - int(offsets[c])
-            inside = (rel >= 0) & (rel < (8 * scale)[None, :])
-            bitidx = jnp.clip(rel // jnp.maximum(scale, 1)[None, :], 0, 7)
-            bit = jnp.where(reflect[None, :], bitidx, 7 - bitidx)
-            bitv = (grp[None, :] >> bit) & 1
-            on = on | ((has_copy[:, c] > 0)[None, :] & inside & (bitv != 0))
+        for c, off in enumerate((0, 16, 32, 64)):
+            rel = xx - pos - off
+            inside = (rel >= 0) & (rel < 8 * scale)
+            bitidx = jnp.clip(rel // scale, 0, 7)
+            bit = jnp.where(reflect, bitidx, 7 - bitidx)
+            bitv = (grp >> bit) & 1
+            on = on | (has[c] & inside & (bitv != 0))
         return on
 
     def missile_mask(enam, pos, nusiz, resmp):
         w = 1 << ((nusiz >> 4) & 3)
-        rel = xx - pos[None, :]
-        on = ((enam & 2) != 0)[None, :] & (rel >= 0) & (rel < w[None, :])
-        return on & ((resmp & 2) == 0)[None, :]
+        rel = xx - pos
+        on = ((enam & 2) != 0) & (rel >= 0) & (rel < w)
+        return on & ((resmp & 2) == 0)
 
     def ball_mask():
-        w = 1 << ((rec[R_CTRLPF] >> 4) & 3)
-        rel = xx - rec[R_POSBL][None, :]
-        return ((rec[R_ENABL] & 2) != 0)[None, :] & (rel >= 0) & (
-            rel < w[None, :]
-        )
+        w = 1 << ((row(R_CTRLPF) >> 4) & 3)
+        rel = xx - row(R_POSBL)
+        return ((row(R_ENABL) & 2) != 0) & (rel >= 0) & (rel < w)
 
     pf = pf_mask()
     bl = ball_mask()
-    pl0 = player_mask(rec[R_GRP0], rec[R_POSP0], rec[R_NUSIZ0], rec[R_REFP0])
-    pl1 = player_mask(rec[R_GRP1], rec[R_POSP1], rec[R_NUSIZ1], rec[R_REFP1])
-    m0 = missile_mask(rec[R_ENAM0], rec[R_POSM0], rec[R_NUSIZ0],
-                      rec[R_RESMP0])
-    m1 = missile_mask(rec[R_ENAM1], rec[R_POSM1], rec[R_NUSIZ1],
-                      rec[R_RESMP1])
+    pl0 = player_mask(row(R_GRP0), row(R_POSP0), row(R_NUSIZ0), row(R_REFP0))
+    pl1 = player_mask(row(R_GRP1), row(R_POSP1), row(R_NUSIZ1), row(R_REFP1))
+    m0 = missile_mask(row(R_ENAM0), row(R_POSM0), row(R_NUSIZ0),
+                      row(R_RESMP0))
+    m1 = missile_mask(row(R_ENAM1), row(R_POSM1), row(R_NUSIZ1),
+                      row(R_RESMP1))
     return pf, bl, pl0, pl1, m0, m1
 
 
@@ -591,9 +652,9 @@ def _collisions(rec: jax.Array) -> jax.Array:
     pf, bl, pl0, pl1, m0, m1 = _line_masks(rec)
 
     def hit(a_, b_):
-        return jnp.any(a_ & b_, axis=0).astype(_i32)
+        return jnp.any(a_ & b_, axis=0, keepdims=True).astype(_i32)
 
-    return jnp.stack([
+    return jnp.concatenate([
         (hit(m0, pl1) << 7) | (hit(m0, pl0) << 6),
         (hit(m1, pl0) << 7) | (hit(m1, pl1) << 6),
         (hit(pl0, pf) << 7) | (hit(pl0, bl) << 6),
@@ -606,14 +667,8 @@ def _collisions(rec: jax.Array) -> jax.Array:
 
 
 def _merge(act: jax.Array, new: dict, old: dict) -> dict:
-    out = {}
-    for k, v in new.items():
-        o = old[k]
-        if v.ndim == 2:
-            out[k] = jnp.where(act[None, :], v, o)
-        else:
-            out[k] = jnp.where(act, v, o)
-    return out
+    """Per-lane select; ``act`` [1, B] broadcasts over every [k, B] leaf."""
+    return {k: jnp.where(act, v, old[k]) for k, v in new.items()}
 
 
 def _line_slot(s: dict, done: jax.Array, tables: dict):
@@ -624,9 +679,8 @@ def _line_slot(s: dict, done: jax.Array, tables: dict):
 
     def cond(c):
         s_, n = c
-        return jnp.any(
-            (s_["line_cycles"] < CYCLES_PER_LINE) & (n < _BUDGET)
-        )
+        act = (s_["line_cycles"] < CYCLES_PER_LINE) & (n < _BUDGET)
+        return jnp.sum(act.astype(_i32)) > 0
 
     def body(c):
         s_, n = c
@@ -642,7 +696,7 @@ def _line_slot(s: dict, done: jax.Array, tables: dict):
     vis = s2["scanline"] - FIRST_VISIBLE
     store = (vis >= 0) & (vis < VISIBLE_LINES)
     cx = jnp.where(
-        store[None, :], s2["cx"] | _collisions(record), s2["cx"]
+        store, s2["cx"] | _collisions(record), s2["cx"]
     )
     s3 = {
         **s2,
@@ -650,10 +704,11 @@ def _line_slot(s: dict, done: jax.Array, tables: dict):
         "scanline": s2["scanline"] + 1,
         "line_cycles": s2["line_cycles"] - CYCLES_PER_LINE,
     }
-    done2 = done | s3["wrapped"] | (s3["scanline"] >= 262)
-    out = _merge(~done, s3, s)
-    keep = ~done & store
-    record = jnp.where(keep[None, :], record, 0)
+    done2 = done | s3["wrapped"] | (s3["scanline"] >= 262).astype(_i32)
+    live = done == 0
+    out = _merge(live, s3, s)
+    keep = live & store
+    record = jnp.where(keep, record, 0)
     rowsel = keep.astype(_i32)
     row = jnp.clip(out["scanline"] - 1 - FIRST_VISIBLE, 0, VISIBLE_LINES - 1)
     row = jnp.where(keep, row, 0)
@@ -672,7 +727,7 @@ def frame_batched(s: dict, tables: dict):
         "scanline": jnp.zeros_like(s["scanline"]),
         "wrapped": jnp.zeros_like(s["wrapped"]),
     }
-    done0 = jnp.zeros(s["pc"].shape, bool)
+    done0 = jnp.zeros(s["pc"].shape, _i32)
 
     def step(carry, _):
         s_, d = carry
@@ -682,7 +737,7 @@ def frame_batched(s: dict, tables: dict):
     (s, _), (recs, rowsel, rows) = jax.lax.scan(
         step, (s, done0), None, length=_SLOTS
     )
-    return s, recs, rowsel, rows
+    return s, recs, rowsel[:, 0], rows[:, 0]
 
 
 def scatter_lines(lines0, recs, rowsel, rows):
@@ -714,10 +769,7 @@ def _to_lane_last(m: dict) -> tuple[dict, jax.Array]:
     """[B]-leading machine pytree → lane-last state dict (+ lines)."""
     s = {}
     for k in SCALARS:
-        if k == "wrapped":
-            s[k] = m[k].astype(bool)
-        else:
-            s[k] = m[k].astype(_i32)
+        s[k] = m[k].astype(_i32)[None, :]
     for k in _2D:
         s[k] = m[k].transpose(1, 0).astype(_i32)
     return s, m["lines"]
@@ -726,7 +778,7 @@ def _to_lane_last(m: dict) -> tuple[dict, jax.Array]:
 def _from_lane_last(s: dict, lines: jax.Array, proto: dict) -> dict:
     out = dict(proto)
     for k in SCALARS:
-        out[k] = s[k].astype(proto[k].dtype)
+        out[k] = s[k][0].astype(proto[k].dtype)
     for k in _2D:
         out[k] = s[k].transpose(1, 0).astype(proto[k].dtype)
     out["lines"] = lines
@@ -756,19 +808,21 @@ def _make_run_frame(rom_bytes: bytes):
     """
     rom_np = np.frombuffer(rom_bytes, np.uint8)
     tables = build_tables(rom_np)
-    rom_j = jnp.asarray(rom_np, jnp.int32)
-    rom2d_j = jnp.asarray(tables["rom2d"])
-    decode_j = jnp.asarray(tables["decode"])
     nbanks = int(tables["nbanks"])
+    # Closure holds NUMPY tables only: jnp constants created inside a
+    # trace are tracers, and this function is lru_cached across traces.
 
     @jax.custom_batching.custom_vmap
     def run_frame(m: dict) -> dict:
-        return tia.run_frame(m, rom_j, 0)
+        return tia.run_frame(m, jnp.asarray(rom_np, jnp.int32), 0)
 
     @run_frame.def_vmap
     def _batched(axis_size, in_batched, m):  # noqa: ANN001
         del axis_size
-        out = _run_frame_batched(m, rom2d_j, decode_j, nbanks)
+        out = _run_frame_batched(
+            m, jnp.asarray(tables["rom2d"]), jnp.asarray(tables["decode"]),
+            nbanks,
+        )
         return out, jax.tree_util.tree_map(lambda _: True, out)
 
     return run_frame

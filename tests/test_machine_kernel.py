@@ -95,3 +95,26 @@ def test_banked_rom_lockstep():
     )(m_ref)
     _cmp_trees(out_ref, out_fast, "banked")
     assert int(np.asarray(out_ref["bank"])[0]) == 0
+
+
+def test_pallas_wrapper_interpret_matches_batched():
+    """frame_pallas (interpret mode) vs frame_batched on the pong cart:
+    identical state and record streams through the Pallas wrapper."""
+    from envpool_tpu.envs.atari import machine_pallas
+
+    rom_np = _pong_rom()
+    tables = machine_kernel.build_tables(rom_np)
+    tables = {
+        "rom2d": jnp.asarray(tables["rom2d"]),
+        "decode": jnp.asarray(tables["decode"]),
+        "nbanks": tables["nbanks"],
+    }
+    m = _boot_batch(rom_np, 3)
+    s, _ = machine_kernel._to_lane_last(m)
+    ref = machine_kernel.frame_batched(s, tables)
+    got = machine_pallas.frame_pallas(s, tables, interpret=True)
+    _cmp_trees(ref[0], got[0], "pallas state")
+    for name, r, g in zip(("recs", "rowsel", "rows"), ref[1:], got[1:]):
+        np.testing.assert_array_equal(
+            np.asarray(r), np.asarray(g), err_msg=name
+        )
