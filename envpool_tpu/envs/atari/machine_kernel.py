@@ -81,10 +81,26 @@ def build_tables(rom_np: np.ndarray) -> dict:
     n = rom_np.shape[0]
     assert n in (4096, 8192, 16384), rom_np.shape
     mode, op, size, cyc = CPU_TABLES
+    nbanks = n // 4096
+    # Per-PC fetch+decode meta table: for cartridge offset j (within its
+    # bank), the three instruction bytes and the decode row of byte 0 —
+    # one MXU contraction replaces three bus reads plus the decode read.
+    # Offsets whose pc+1/pc+2 would leave the 4K window get garbage here;
+    # the step takes the exact slow path for those lanes (lax.cond).
+    banks = rom_np.reshape(nbanks, 4096).astype(np.int64)
+    j = np.arange(4096)
+    b0 = banks[:, j]
+    b1 = banks[:, (j + 1) & 0xFFF]
+    b2 = banks[:, (j + 2) & 0xFFF]
+    meta = np.stack([
+        b0, b1, b2, mode[b0], op[b0], size[b0], cyc[b0],
+        np.zeros_like(b0),
+    ], axis=-1)  # [nbanks, 4096, 8]
     return {
         "rom2d": rom_np.reshape(-1, 64).astype(np.float32),  # [RH, 64]
         "decode": np.stack([mode, op, size, cyc], 1).astype(np.float32),
-        "nbanks": n // 4096,
+        "meta": meta.reshape(-1, 64 * 8).astype(np.float32),  # [RH, 512]
+        "nbanks": nbanks,
     }
 
 
@@ -131,9 +147,15 @@ def _ram_sel(addr):
 
 
 def _ram_read(ram: jax.Array, addr: jax.Array) -> jax.Array:
-    """RAM byte at per-lane 7-bit offset; ram [128, B], addr [B]."""
-    mask = _oh_rows(addr & 0x7F, 128)
-    return jnp.where(mask, ram, 0).sum(0, keepdims=True)
+    """RAM byte at per-lane 7-bit offset.
+
+    RAM is stored as 32 little-endian 4-byte words per lane ([32, B])
+    — 4x fewer sublanes than a byte file, so the mask/select/reduce
+    per access and the loop-carry footprint shrink 4x.
+    """
+    mask = _oh_rows((addr & 0x7F) >> 2, 32)
+    w = jnp.where(mask, ram, 0).sum(0, keepdims=True)
+    return (w >> ((addr & 3) * 8)) & 0xFF
 
 
 def _bus_nonrom(s: dict, addr: jax.Array) -> jax.Array:
@@ -167,8 +189,11 @@ def _write(s: dict, addr: jax.Array, value: jax.Array, do: jax.Array):
     value = value & 0xFF
     is_ram = _ram_sel(addr) & do
     is_tia = (addr < 0x40) & do
-    mr = _oh_rows(addr & 0x7F, 128) & is_ram
-    ram = jnp.where(mr, value, s["ram"])
+    sh = (addr & 3) * 8
+    mr = _oh_rows((addr & 0x7F) >> 2, 32) & is_ram
+    ram = jnp.where(
+        mr, (s["ram"] & ~(0xFF << sh)) | (value << sh), s["ram"]
+    )
     mt = _oh_rows(jnp.clip(addr, 0, 63), 64) & is_tia
     tia_f = jnp.where(mt, value, s["tia"])
     waddr = jnp.where(is_tia, addr, s["tia_waddr"])
@@ -195,6 +220,19 @@ def _select(conds, choices, default):
     return out
 
 
+
+
+def _any(m: jax.Array) -> jax.Array:
+    return jnp.sum(m.astype(_i32)) > 0
+
+
+def _wrap160(v: jax.Array) -> jax.Array:
+    """``v % 160`` for v in [-160, 320) without an integer division
+    (no native int div/mod on the VPU — measured ~10x op cost)."""
+    v = jnp.where(v < 0, v + 160, v)
+    return jnp.where(v >= 160, v - 160, v)
+
+
 def step_batched(s: dict, tables: dict) -> dict:
     """One instruction for every lane — batched ``step_instruction``
     (cpu6502.py:303) fused with the TIA beam bookkeeping
@@ -204,21 +242,46 @@ def step_batched(s: dict, tables: dict) -> dict:
     pre_cycles = s["cycles"]
     pre_vsync = s["tia"][0:1]
     pc = s["pc"]
-    opcode = _read(s, rom2d, pc)
-    b1 = _read(s, rom2d, pc + 1)
-    b2 = _read(s, rom2d, pc + 2)
-    if _USE_MATMUL:
+    meta = tables.get("meta")
+
+    def _fetch_slow(operand):
+        s_, pc_ = operand
+        opcode = _read(s_, rom2d, pc_)
+        b1 = _read(s_, rom2d, pc_ + 1)
+        b2 = _read(s_, rom2d, pc_ + 2)
         dec_oh = _oh_rows(jnp.clip(opcode, 0, 255), 256).astype(_f32)
         dec = jax.lax.dot_general(
             jnp.asarray(tables["decode"]), dec_oh, (((0,), (0,)), ((), ())),
             preferred_element_type=_f32,
         ).astype(_i32)  # [4, B]
+        return opcode, b1, b2, dec
+
+    def _fetch_fast(operand):
+        s_, pc_ = operand
+        rh = meta.shape[0]
+        idx = jnp.where(
+            rh > 64, s_["bank"] * 4096 + (pc_ & 0xFFF), pc_ & 0xFFF
+        )
+        mh = _oh_rows(idx >> 6, rh).astype(_f32)  # [RH, B]
+        row = jax.lax.dot_general(
+            meta, mh, (((0,), (0,)), ((), ())),
+            preferred_element_type=_f32,
+        )  # [512, B]
+        row3 = row.reshape(64, 8, row.shape[-1])
+        sel = _oh_rows(idx & 63, 64)[:, None, :]
+        f = jnp.where(sel, row3, 0.0).sum(0).astype(_i32)  # [8, B]
+        return f[0:1], f[1:2], f[2:3], f[3:7]
+
+    if meta is None:
+        opcode, b1, b2, dec = _fetch_slow((s, pc))
     else:
-        dec_oh = _oh_rows(jnp.clip(opcode, 0, 255), 256)  # [256, B]
-        dec_t = jnp.asarray(tables["decode"]).astype(_i32)  # [256, 4]
-        dec = jnp.where(
-            dec_oh[:, None, :], dec_t[:, :, None], 0
-        ).sum(0)  # [4, B]
+        # Slow path when any lane executes from RAM/TIA space or within
+        # 2 bytes of the 4K window end (pc+1/pc+2 leave the window).
+        needs_slow = (pc < 0x1000) | ((pc & 0xFFF) >= 0xFFD)
+        opcode, b1, b2, dec = jax.lax.cond(
+            jnp.sum(needs_slow.astype(_i32)) > 0,
+            _fetch_slow, _fetch_fast, (s, pc),
+        )
     mode, op, size, cycles = dec[0:1], dec[1:2], dec[2:3], dec[3:4]
     a, x, y, sp, p = s["a"], s["x"], s["y"], s["sp"], s["p"]
 
@@ -497,11 +560,11 @@ def step_batched(s: dict, tables: dict) -> dict:
         nib = (v >> 4) & 0xF
         return jnp.where(nib >= 8, nib - 16, nib)
 
-    posp0 = jnp.where(hmove, (posp0 - _signed_hm(t[0x20:0x21])) % 160, posp0)
-    posp1 = jnp.where(hmove, (posp1 - _signed_hm(t[0x21:0x22])) % 160, posp1)
-    posm0 = jnp.where(hmove, (posm0 - _signed_hm(t[0x22:0x23])) % 160, posm0)
-    posm1 = jnp.where(hmove, (posm1 - _signed_hm(t[0x23:0x24])) % 160, posm1)
-    posbl = jnp.where(hmove, (posbl - _signed_hm(t[0x24:0x25])) % 160, posbl)
+    posp0 = jnp.where(hmove, _wrap160(posp0 - _signed_hm(t[0x20:0x21])), posp0)
+    posp1 = jnp.where(hmove, _wrap160(posp1 - _signed_hm(t[0x21:0x22])), posp1)
+    posm0 = jnp.where(hmove, _wrap160(posm0 - _signed_hm(t[0x22:0x23])), posm0)
+    posm1 = jnp.where(hmove, _wrap160(posm1 - _signed_hm(t[0x23:0x24])), posm1)
+    posbl = jnp.where(hmove, _wrap160(posbl - _signed_hm(t[0x24:0x25])), posbl)
     hm_row = jax.lax.broadcasted_iota(_i32, (64, 1), 0)
     hm_keep = (hm_row < 0x20) | (hm_row >= 0x25)
     tia_f = jnp.where(hmclr & ~hm_keep, 0, t)
@@ -511,7 +574,7 @@ def step_batched(s: dict, tables: dict) -> dict:
         mode7 = nusiz & 7
         # _NUSIZ_SCALE = [1,1,1,1,1,2,1,4] as direct expressions.
         scale = jnp.where(mode7 == 5, 2, jnp.where(mode7 == 7, 4, 1))
-        return (posp + 4 * scale) % 160
+        return _wrap160(posp + 4 * scale)
 
     posm0 = jnp.where(
         (t[0x28:0x29] & 2) != 0, _center(t[0x04:0x05], posp0), posm0
@@ -591,7 +654,7 @@ def _line_masks(rec: jax.Array):
 
     def pf_mask():
         pf0, pf1, pf2, ctrl = row(R_PF0), row(R_PF1), row(R_PF2), row(R_CTRLPF)
-        left_bit = xx // 4
+        left_bit = xx >> 2
         reflect = (ctrl & 1) != 0
         bit = jnp.where(
             left_bit < 20, left_bit,
@@ -606,8 +669,10 @@ def _line_masks(rec: jax.Array):
     def player_mask(grp, pos, nusiz, refp):
         mode7 = nusiz & 7
         # _NUSIZ_COPIES/_NUSIZ_SCALE as direct boolean expressions
-        # (Pallas kernels cannot capture array constants).
-        scale = jnp.where(mode7 == 5, 2, jnp.where(mode7 == 7, 4, 1))
+        # (Pallas kernels cannot capture array constants).  scale is a
+        # power of two; log2(scale) drives shifts instead of divisions.
+        lgs = jnp.where(mode7 == 5, 1, jnp.where(mode7 == 7, 2, 0))
+        scale = 1 << lgs
         has = (
             jnp.ones_like(mode7, bool),                      # +0
             (mode7 == 1) | (mode7 == 3),                     # +16
@@ -619,7 +684,7 @@ def _line_masks(rec: jax.Array):
         for c, off in enumerate((0, 16, 32, 64)):
             rel = xx - pos - off
             inside = (rel >= 0) & (rel < 8 * scale)
-            bitidx = jnp.clip(rel // scale, 0, 7)
+            bitidx = jnp.clip(rel >> lgs, 0, 7)
             bit = jnp.where(reflect, bitidx, 7 - bitidx)
             bitv = (grp >> bit) & 1
             on = on | (has[c] & inside & (bitv != 0))
@@ -762,7 +827,7 @@ def scatter_lines(lines0, recs, rowsel, rows):
 # Layout conversion and the public vmap-compatible entry point
 # ---------------------------------------------------------------------------
 
-_2D = {"ram": 128, "tia": 64, "cx": 8}
+_2D = {"tia": 64, "cx": 8}
 
 
 def _to_lane_last(m: dict) -> tuple[dict, jax.Array]:
@@ -772,6 +837,12 @@ def _to_lane_last(m: dict) -> tuple[dict, jax.Array]:
         s[k] = m[k].astype(_i32)[None, :]
     for k in _2D:
         s[k] = m[k].transpose(1, 0).astype(_i32)
+    rb = m["ram"].astype(_i32)  # [B, 128] bytes
+    words = (
+        rb[:, 0::4] | rb[:, 1::4] << 8 | rb[:, 2::4] << 16
+        | rb[:, 3::4] << 24
+    )  # [B, 32]
+    s["ram"] = words.transpose(1, 0)
     return s, m["lines"]
 
 
@@ -781,12 +852,21 @@ def _from_lane_last(s: dict, lines: jax.Array, proto: dict) -> dict:
         out[k] = s[k][0].astype(proto[k].dtype)
     for k in _2D:
         out[k] = s[k].transpose(1, 0).astype(proto[k].dtype)
+    w = s["ram"].transpose(1, 0)  # [B, 32] words
+    rb = jnp.stack(
+        [w & 0xFF, w >> 8 & 0xFF, w >> 16 & 0xFF, w >> 24 & 0xFF], -1
+    ).reshape(w.shape[0], 128)
+    out["ram"] = rb.astype(proto["ram"].dtype)
     out["lines"] = lines
     return out
 
 
-def _run_frame_batched(m: dict, rom2d_j, decode_j, nbanks: int) -> dict:
-    tables = {"rom2d": rom2d_j, "decode": decode_j, "nbanks": nbanks}
+def _run_frame_batched(m: dict, rom2d_j, decode_j, meta_j,
+                       nbanks: int) -> dict:
+    tables = {
+        "rom2d": rom2d_j, "decode": decode_j, "meta": meta_j,
+        "nbanks": nbanks,
+    }
     s, lines0 = _to_lane_last(m)
     if jax.default_backend() == "tpu":
         from .machine_pallas import frame_pallas
@@ -821,7 +901,7 @@ def _make_run_frame(rom_bytes: bytes):
         del axis_size
         out = _run_frame_batched(
             m, jnp.asarray(tables["rom2d"]), jnp.asarray(tables["decode"]),
-            nbanks,
+            jnp.asarray(tables["meta"]), nbanks,
         )
         return out, jax.tree_util.tree_map(lambda _: True, out)
 

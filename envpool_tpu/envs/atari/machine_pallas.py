@@ -30,12 +30,14 @@ B_TILE = 128
 _i32 = jnp.int32
 
 
-def _kernel(rom2d_ref, decode_ref, scal_ref, ram_ref, tia_ref, cx_ref,
+def _kernel(rom2d_ref, decode_ref, meta_ref, scal_ref, ram_ref, tia_ref,
+            cx_ref,
             out_scal_ref, out_ram_ref, out_tia_ref, out_cx_ref,
             recs_ref, rowsel_ref, rows_ref):
     tables = {
         "rom2d": rom2d_ref[:],
         "decode": decode_ref[:],
+        "meta": meta_ref[:],
         # nbanks is static: recover from the table height (RH = 64*n).
         "nbanks": rom2d_ref.shape[0] // 64,
     }
@@ -90,6 +92,7 @@ def frame_pallas(s: dict, tables: dict, interpret: bool = False):
     cx = _pad(s["cx"])
     rom2d = jnp.asarray(tables["rom2d"], jnp.float32)
     decode = jnp.asarray(tables["decode"], jnp.float32)
+    meta = jnp.asarray(tables["meta"], jnp.float32)
     rh = rom2d.shape[0]
 
     grid = (bp // B_TILE,)
@@ -107,7 +110,7 @@ def frame_pallas(s: dict, tables: dict, interpret: bool = False):
 
     out_shapes = (
         jax.ShapeDtypeStruct((NS, bp), _i32),
-        jax.ShapeDtypeStruct((128, bp), _i32),
+        jax.ShapeDtypeStruct((32, bp), _i32),
         jax.ShapeDtypeStruct((64, bp), _i32),
         jax.ShapeDtypeStruct((8, bp), _i32),
         jax.ShapeDtypeStruct((_SLOTS, NREG, bp), _i32),
@@ -115,12 +118,12 @@ def frame_pallas(s: dict, tables: dict, interpret: bool = False):
         jax.ShapeDtypeStruct((_SLOTS, bp), _i32),
     )
     out_specs = (
-        lanes(NS), lanes(128), lanes(64), lanes(8),
+        lanes(NS), lanes(32), lanes(64), lanes(8),
         lanes(_SLOTS, NREG), lanes(_SLOTS), lanes(_SLOTS),
     )
     in_specs = [
-        whole((rh, 64)), whole((256, 4)),
-        lanes(NS), lanes(128), lanes(64), lanes(8),
+        whole((rh, 64)), whole((256, 4)), whole((rh, 512)),
+        lanes(NS), lanes(32), lanes(64), lanes(8),
     ]
     (oscal, oram, otia, ocx, recs, rowsel, rows) = pl.pallas_call(
         _kernel,
@@ -132,7 +135,7 @@ def frame_pallas(s: dict, tables: dict, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(rom2d, decode, scal, ram, tia_f, cx)
+    )(rom2d, decode, meta, scal, ram, tia_f, cx)
 
     out = {k: oscal[i : i + 1, :b] for i, k in enumerate(SCALARS)}
     out["ram"] = oram[:, :b]
