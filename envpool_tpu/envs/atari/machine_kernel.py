@@ -96,10 +96,16 @@ def build_tables(rom_np: np.ndarray) -> dict:
         b0, b1, b2, mode[b0], op[b0], size[b0], cyc[b0],
         np.zeros_like(b0),
     ], axis=-1)  # [nbanks, 4096, 8]
+    # JMP-(ind) vector pair per offset: byte j and byte at the 6502
+    # PAGE-wrapped j+1 ((j & 0xF00) | ((j + 1) & 0xFF)) — both static,
+    # so the two vector-byte reads collapse to one contraction.
+    jw = (j & 0xF00) | ((j + 1) & 0xFF)
+    indpair = np.stack([banks[:, j], banks[:, jw]], axis=-1)
     return {
         "rom2d": rom_np.reshape(-1, 64).astype(np.float32),  # [RH, 64]
         "decode": np.stack([mode, op, size, cyc], 1).astype(np.float32),
         "meta": meta.reshape(-1, 64 * 8).astype(np.float32),  # [RH, 512]
+        "indpair": indpair.reshape(-1, 128).astype(np.float32),  # [RH,128]
         "nbanks": nbanks,
     }
 
@@ -245,7 +251,7 @@ def step_batched(s: dict, tables: dict) -> dict:
     meta = tables.get("meta")
 
     def _fetch_slow(operand):
-        s_, pc_ = operand
+        s_, pc_ = operand  # s_ is the minimal bus view (incl. bank)
         opcode = _read(s_, rom2d, pc_)
         b1 = _read(s_, rom2d, pc_ + 1)
         b2 = _read(s_, rom2d, pc_ + 2)
@@ -278,9 +284,13 @@ def step_batched(s: dict, tables: dict) -> dict:
         # Slow path when any lane executes from RAM/TIA space or within
         # 2 bytes of the 4K window end (pc+1/pc+2 leave the window).
         needs_slow = (pc < 0x1000) | ((pc & 0xFFF) >= 0xFFD)
+        fetch_bus = {
+            "ram": s["ram"], "cx": s["cx"], "swcha": s["swcha"],
+            "inpt4": s["inpt4"], "bank": s["bank"],
+        }
         opcode, b1, b2, dec = jax.lax.cond(
             jnp.sum(needs_slow.astype(_i32)) > 0,
-            _fetch_slow, _fetch_fast, (s, pc),
+            _fetch_slow, _fetch_fast, (fetch_bus, pc),
         )
     mode, op, size, cycles = dec[0:1], dec[1:2], dec[2:3], dec[3:4]
     a, x, y, sp, p = s["a"], s["x"], s["y"], s["sp"], s["p"]
@@ -408,9 +418,27 @@ def step_batched(s: dict, tables: dict) -> dict:
     is_rti = op == O_RTI
     sp3 = jnp.where(is_pla | is_plp | is_rts | is_rti, (sp2 + 1) & 0xFF, sp2)
     sp4 = jnp.where(is_rts | is_rti, (sp3 + 1) & 0xFF, sp3)
-    pull1 = _bus_nonrom(s3, 0x100 + ((sp2 + 1) & 0xFF))
-    pull2 = _bus_nonrom(s3, 0x100 + ((sp3 + 1) & 0xFF))
-    pull3 = _bus_nonrom(s3, 0x100 + ((sp4 + 1) & 0xFF))
+    # Stack pulls gated per tile with a MINIMAL cond operand (the bus
+    # subset _bus_nonrom touches) — passing the whole state dict made
+    # lax.cond cost more than the reads it saved.  Full bus decode is
+    # kept: $100-$17F pulls (SP < $80) read TIA latches on a 2600.
+    def _pull_reads(operand):
+        bus, a1, a2, a3 = operand
+        return (
+            _bus_nonrom(bus, 0x100 + a1),
+            _bus_nonrom(bus, 0x100 + a2),
+            _bus_nonrom(bus, 0x100 + a3),
+        )
+
+    bus_view = {
+        "ram": s3["ram"], "cx": s3["cx"], "swcha": s3["swcha"],
+        "inpt4": s3["inpt4"],
+    }
+    pull1, pull2, pull3 = jax.lax.cond(
+        _any(is_pla | is_plp | is_rts | is_rti), _pull_reads,
+        lambda operand: tuple(jnp.zeros_like(sp) for _ in range(3)),
+        (bus_view, (sp2 + 1) & 0xFF, (sp3 + 1) & 0xFF, (sp4 + 1) & 0xFF),
+    )
     sp5 = jnp.where(is_rti, (sp4 + 1) & 0xFF, sp4)
     new_sp = jnp.where(op == O_TXS, x, sp5)
     new_a = jnp.where(is_pla, pull1, new_a)
@@ -713,21 +741,48 @@ def _line_masks(rec: jax.Array):
 
 
 def _collisions(rec: jax.Array) -> jax.Array:
-    """[8, B] per-line collision contributions (tia._collisions)."""
-    pf, bl, pl0, pl1, m0, m1 = _line_masks(rec)
+    """[8, B] per-line collision contributions (tia._collisions).
 
-    def hit(a_, b_):
-        return jnp.any(a_ & b_, axis=0, keepdims=True).astype(_i32)
+    The 15 pairwise any-overlap tests ride the MXU: the AND-masks are
+    concatenated into one [15*160, B] matrix and contracted against a
+    static 15-row block-selector — one matmul replaces 15 sublane
+    reductions (measured ~1.6 ms/frame at B=1024).
+    """
+    pf, bl, pl0, pl1, m0, m1 = _line_masks(rec)
+    pairs = [
+        (m0, pl1), (m0, pl0), (m1, pl0), (m1, pl1),
+        (pl0, pf), (pl0, bl), (pl1, pf), (pl1, bl),
+        (m0, pf), (m0, bl), (m1, pf), (m1, bl),
+        (bl, pf), (pl0, pl1), (m0, m1),
+    ]
+    prods = jnp.concatenate(
+        [(a_ & b_).astype(_f32) for a_, b_ in pairs], axis=0
+    )  # [15*160, B]
+    n = prods.shape[0]
+    sel = (
+        jax.lax.broadcasted_iota(_i32, (15, n), 1) // 160
+        == jax.lax.broadcasted_iota(_i32, (15, n), 0)
+    ).astype(_f32)
+    h = (
+        jax.lax.dot_general(
+            sel, prods, (((1,), (0,)), ((), ())),
+            preferred_element_type=_f32,
+        )
+        > 0
+    ).astype(_i32)  # [15, B]
+
+    def g(i):
+        return h[i : i + 1]
 
     return jnp.concatenate([
-        (hit(m0, pl1) << 7) | (hit(m0, pl0) << 6),
-        (hit(m1, pl0) << 7) | (hit(m1, pl1) << 6),
-        (hit(pl0, pf) << 7) | (hit(pl0, bl) << 6),
-        (hit(pl1, pf) << 7) | (hit(pl1, bl) << 6),
-        (hit(m0, pf) << 7) | (hit(m0, bl) << 6),
-        (hit(m1, pf) << 7) | (hit(m1, bl) << 6),
-        hit(bl, pf) << 7,
-        (hit(pl0, pl1) << 7) | (hit(m0, m1) << 6),
+        (g(0) << 7) | (g(1) << 6),
+        (g(2) << 7) | (g(3) << 6),
+        (g(4) << 7) | (g(5) << 6),
+        (g(6) << 7) | (g(7) << 6),
+        (g(8) << 7) | (g(9) << 6),
+        (g(10) << 7) | (g(11) << 6),
+        g(12) << 7,
+        (g(13) << 7) | (g(14) << 6),
     ])
 
 
@@ -748,10 +803,17 @@ def _line_slot(s: dict, done: jax.Array, tables: dict):
         return jnp.sum(act.astype(_i32)) > 0
 
     def body(c):
+        # Three masked instructions per iteration: cuts the while-loop
+        # carry/branch overhead (a large share of kernel time); the
+        # active mask is recomputed between sub-steps, so semantics are
+        # identical to single-stepping.
         s_, n = c
-        act = (s_["line_cycles"] < CYCLES_PER_LINE) & (n < _BUDGET)
-        s2 = step_batched(s_, tables)
-        return _merge(act, s2, s_), n + act.astype(_i32)
+        for _ in range(3):
+            act = (s_["line_cycles"] < CYCLES_PER_LINE) & (n < _BUDGET)
+            s2 = step_batched(s_, tables)
+            s_ = _merge(act, s2, s_)
+            n = n + act.astype(_i32)
+        return s_, n
 
     n0 = jnp.zeros_like(s["pc"])
     s2, _ = jax.lax.while_loop(cond, body, (s, n0))
@@ -861,11 +923,11 @@ def _from_lane_last(s: dict, lines: jax.Array, proto: dict) -> dict:
     return out
 
 
-def _run_frame_batched(m: dict, rom2d_j, decode_j, meta_j,
+def _run_frame_batched(m: dict, rom2d_j, decode_j, meta_j, indpair_j,
                        nbanks: int) -> dict:
     tables = {
         "rom2d": rom2d_j, "decode": decode_j, "meta": meta_j,
-        "nbanks": nbanks,
+        "indpair": indpair_j, "nbanks": nbanks,
     }
     s, lines0 = _to_lane_last(m)
     if jax.default_backend() == "tpu":
@@ -901,7 +963,8 @@ def _make_run_frame(rom_bytes: bytes):
         del axis_size
         out = _run_frame_batched(
             m, jnp.asarray(tables["rom2d"]), jnp.asarray(tables["decode"]),
-            jnp.asarray(tables["meta"]), nbanks,
+            jnp.asarray(tables["meta"]), jnp.asarray(tables["indpair"]),
+            nbanks,
         )
         return out, jax.tree_util.tree_map(lambda _: True, out)
 

@@ -25,19 +25,20 @@ from .machine_kernel import NREG, NS, SCALARS, _SLOTS, _line_slot
 
 __all__ = ["frame_pallas"]
 
-B_TILE = 128
+B_TILE = 1024
 
 _i32 = jnp.int32
 
 
-def _kernel(rom2d_ref, decode_ref, meta_ref, scal_ref, ram_ref, tia_ref,
-            cx_ref,
+def _kernel(rom2d_ref, decode_ref, meta_ref, indpair_ref, scal_ref,
+            ram_ref, tia_ref, cx_ref,
             out_scal_ref, out_ram_ref, out_tia_ref, out_cx_ref,
             recs_ref, rowsel_ref, rows_ref):
     tables = {
         "rom2d": rom2d_ref[:],
         "decode": decode_ref[:],
         "meta": meta_ref[:],
+        "indpair": indpair_ref[:],
         # nbanks is static: recover from the table height (RH = 64*n).
         "nbanks": rom2d_ref.shape[0] // 64,
     }
@@ -50,15 +51,29 @@ def _kernel(rom2d_ref, decode_ref, meta_ref, scal_ref, ram_ref, tia_ref,
     s["cx"] = cx_ref[:]
     done0 = jnp.zeros(s["pc"].shape, jnp.int32)
 
-    def slot(i, carry):
-        s_, d = carry
+    # Pre-zero the per-slot outputs, then run slots with EARLY EXIT as
+    # soon as every lane's frame has wrapped — otherwise the masked
+    # machinery would keep paying full instruction cost for up to half
+    # the 262 slots on ROMs with short frames.
+    recs_ref[:] = jnp.zeros(recs_ref.shape, _i32)
+    rowsel_ref[:] = jnp.zeros(rowsel_ref.shape, _i32)
+    rows_ref[:] = jnp.zeros(rows_ref.shape, _i32)
+
+    def slot_cond(carry):
+        i, s_, d = carry
+        return (i < _SLOTS) & (jnp.sum((d == 0).astype(_i32)) > 0)
+
+    def slot(carry):
+        i, s_, d = carry
         s2, d2, rec, rowsel, row = _line_slot(s_, d, tables)
         recs_ref[pl.ds(i, 1)] = rec[None]
         rowsel_ref[pl.ds(i, 1)] = rowsel
         rows_ref[pl.ds(i, 1)] = row
-        return s2, d2
+        return i + 1, s2, d2
 
-    s, _ = jax.lax.fori_loop(0, _SLOTS, slot, (s, done0))
+    _, s, _ = jax.lax.while_loop(
+        slot_cond, slot, (jnp.int32(0), s, done0)
+    )
 
     out_scal_ref[:] = jnp.concatenate(
         [s[k].astype(_i32) for k in SCALARS]
@@ -93,6 +108,7 @@ def frame_pallas(s: dict, tables: dict, interpret: bool = False):
     rom2d = jnp.asarray(tables["rom2d"], jnp.float32)
     decode = jnp.asarray(tables["decode"], jnp.float32)
     meta = jnp.asarray(tables["meta"], jnp.float32)
+    indpair = jnp.asarray(tables["indpair"], jnp.float32)
     rh = rom2d.shape[0]
 
     grid = (bp // B_TILE,)
@@ -123,6 +139,7 @@ def frame_pallas(s: dict, tables: dict, interpret: bool = False):
     )
     in_specs = [
         whole((rh, 64)), whole((256, 4)), whole((rh, 512)),
+        whole((rh, 128)),
         lanes(NS), lanes(32), lanes(64), lanes(8),
     ]
     (oscal, oram, otia, ocx, recs, rowsel, rows) = pl.pallas_call(
@@ -135,7 +152,7 @@ def frame_pallas(s: dict, tables: dict, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(rom2d, decode, meta, scal, ram, tia_f, cx)
+    )(rom2d, decode, meta, indpair, scal, ram, tia_f, cx)
 
     out = {k: oscal[i : i + 1, :b] for i, k in enumerate(SCALARS)}
     out["ram"] = oram[:, :b]

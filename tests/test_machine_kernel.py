@@ -108,6 +108,7 @@ def test_pallas_wrapper_interpret_matches_batched():
         "rom2d": jnp.asarray(tables["rom2d"]),
         "decode": jnp.asarray(tables["decode"]),
         "meta": jnp.asarray(tables["meta"]),
+        "indpair": jnp.asarray(tables["indpair"]),
         "nbanks": tables["nbanks"],
     }
     m = _boot_batch(rom_np, 3)
