@@ -332,12 +332,17 @@ class ArcadeEnv(TpuEnv):
         )
 
         def noop_body(i, g):
-            def run(g):
-                return self.game.tick(
-                    g, jnp.int32(0), jax.random.fold_in(k_tick, i)
-                )[0]
-
-            return jax.lax.cond(i < noop, run, lambda g: g, g)
+            # Branchless (tick + select) rather than lax.cond: under the
+            # engine's vmap the per-env predicate makes cond evaluate
+            # both branches anyway, and a batched cond closes its
+            # operands over custom_vmap primitives (Machine2600's frame
+            # kernel), which jax's custom_batching rejects.
+            g2 = self.game.tick(
+                g, jnp.int32(0), jax.random.fold_in(k_tick, i)
+            )[0]
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(i < noop, a, b), g2, g
+            )
 
         g = jax.lax.fori_loop(0, noop_max, noop_body, g)
         if self._fire_reset:

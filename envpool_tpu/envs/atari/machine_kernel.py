@@ -960,7 +960,14 @@ def _make_run_frame(rom_bytes: bytes):
 
     @run_frame.def_vmap
     def _batched(axis_size, in_batched, m):  # noqa: ANN001
-        del axis_size
+        # Leaves closed over by outer lax.cond/fori can reach here
+        # unbatched; broadcast them to the batch before the kernel.
+        m = jax.tree_util.tree_map(
+            lambda leaf, b: leaf if b else jnp.broadcast_to(
+                leaf, (axis_size,) + leaf.shape
+            ),
+            m, in_batched[0],
+        )
         out = _run_frame_batched(
             m, jnp.asarray(tables["rom2d"]), jnp.asarray(tables["decode"]),
             jnp.asarray(tables["meta"]), jnp.asarray(tables["indpair"]),

@@ -25,7 +25,7 @@ from .machine_kernel import NREG, NS, SCALARS, _SLOTS, _line_slot
 
 __all__ = ["frame_pallas"]
 
-B_TILE = 1024
+B_TILE_MAX = 1024
 
 _i32 = jnp.int32
 
@@ -90,7 +90,11 @@ def frame_pallas(s: dict, tables: dict, interpret: bool = False):
     to a multiple of ``B_TILE`` and tiled over the Pallas grid.
     """
     b = s["pc"].shape[-1]
-    pad = (-b) % B_TILE
+    # One tile covers the whole batch up to 1024 lanes (bigger tiles
+    # amortize fixed loop overhead 8x vs 128); small batches round up
+    # to a lane multiple instead of padding to the max tile.
+    tile = min(B_TILE_MAX, ((b + 127) // 128) * 128)
+    pad = (-b) % tile
     bp = b + pad
 
     def _pad(v):
@@ -111,13 +115,13 @@ def frame_pallas(s: dict, tables: dict, interpret: bool = False):
     indpair = jnp.asarray(tables["indpair"], jnp.float32)
     rh = rom2d.shape[0]
 
-    grid = (bp // B_TILE,)
+    grid = (bp // tile,)
 
     def lanes(*lead):
         def index_map(i):
             return tuple(0 for _ in lead) + (i,)
 
-        return pl.BlockSpec(tuple(lead) + (B_TILE,), index_map,
+        return pl.BlockSpec(tuple(lead) + (tile,), index_map,
                             memory_space=pltpu.VMEM)
 
     def whole(shape):

@@ -139,3 +139,29 @@ register(
     max_episode_steps=27000,
     task="machine2600",
 )
+
+# Per-ROM preset ids (ALE-settings analog, rom_presets.py): real-ALE
+# reward/lives/terminal semantics + minimal action sets for users who
+# supply the matching cartridge dump via rom_path=.
+for _preset, _name in (
+    ("breakout", "Breakout"),
+    ("pong", "Pong"),
+    ("freeway", "Freeway"),
+    ("space_invaders", "SpaceInvaders"),
+    ("seaquest", "Seaquest"),
+    ("boxing", "Boxing"),
+    ("asteroids", "Asteroids"),
+    ("ms_pacman", "MsPacman"),
+    ("qbert", "Qbert"),
+    ("bowling", "Bowling"),
+    ("frostbite", "Frostbite"),
+    ("battle_zone", "BattleZone"),
+):
+    register(
+        task_id=f"Machine2600/{_name}-v5",
+        import_path=_PATH,
+        env_cls="Machine2600Env",
+        max_episode_steps=27000,
+        task="machine2600",
+        game=_preset,
+    )
