@@ -136,6 +136,44 @@ def main() -> None:
         f"({cartpole / CARTPOLE_BASELINE:.1f}x north star)",
         file=sys.stderr,
     )
+    machine = _bench_machine2600()
+    print(
+        f"machine2600: {machine:,.0f} emulated frames/s at B=1024 "
+        "(real 6502+TIA, Pallas frame kernel; r4 baseline 4.6k)",
+        file=sys.stderr,
+    )
+
+
+def _bench_machine2600(batch: int = 1024, reps: int = 20) -> float:
+    """Raw emulated-frame throughput of the 2600 Pallas frame kernel on
+    the playable pong test cartridge (no ROM assets ship in-image)."""
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "tests")
+    )
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(__file__), "tests", "oracle_fixtures"),
+    )
+    from test_machine_game import _pong_rom
+
+    from envpool_tpu.envs.atari import cpu6502, machine_kernel, tia
+
+    rom_np = _pong_rom()
+    m = tia.attach_tia(cpu6502.make_machine(rom_np))
+    m = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * batch), m
+    )
+    step = jax.jit(
+        jax.vmap(lambda mm: machine_kernel.run_frame_fast(mm, rom_np))
+    )
+    m = step(m)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        m = step(m)
+    jax.block_until_ready(m)
+    return reps * batch / (time.perf_counter() - t0)
 
 
 def sweep() -> None:
