@@ -129,6 +129,30 @@ for _task_id, _cls, _task in (
     )
 
 
+# Arcade waves 12-18: the non-57 half of the ALE roster
+# (envpool/atari/registration.py registers every ROM as Name-v5).
+for _task_id, _cls, _task in (
+    ("AdventureLite-v5", "AdventureEnv", "adventure"),
+    ("SupermanLite-v5", "SupermanEnv", "superman"),
+    ("EarthworldLite-v5", "EarthworldEnv", "earthworld"),
+    ("HauntedHouseLite-v5", "HauntedHouseEnv", "haunted_house"),
+    ("SirLancelotLite-v5", "SirLancelotEnv", "sir_lancelot"),
+    ("KingKongLite-v5", "KingKongEnv", "king_kong"),
+    ("AirRaidLite-v5", "AirRaidEnv", "air_raid"),
+    ("GalaxianLite-v5", "GalaxianEnv", "galaxian"),
+    ("Atlantis2Lite-v5", "Atlantis2Env", "atlantis2"),
+    ("SpaceWarLite-v5", "SpaceWarEnv", "space_war"),
+    ("LaserGatesLite-v5", "LaserGatesEnv", "laser_gates"),
+    ("TrondeadLite-v5", "TrondeadEnv", "trondead"),
+):
+    register(
+        task_id=_task_id,
+        import_path=_PATH,
+        env_cls=_cls,
+        max_episode_steps=27000,
+        task=_task,
+    )
+
 # The 2600 machine env: runs user-supplied 4K cartridge ROMs on the
 # vectorized 6502+TIA emulator behind the standard pipeline (no ROM
 # assets ship in-image; rom_path is required at make()).
