@@ -144,6 +144,19 @@ for _task_id, _cls, _task in (
     ("SpaceWarLite-v5", "SpaceWarEnv", "space_war"),
     ("LaserGatesLite-v5", "LaserGatesEnv", "laser_gates"),
     ("TrondeadLite-v5", "TrondeadEnv", "trondead"),
+    ("DonkeyKongLite-v5", "DonkeyKongEnv", "donkey_kong"),
+    ("MarioBrosLite-v5", "MarioBrosEnv", "mario_bros"),
+    ("FroggerLite-v5", "FroggerEnv", "frogger"),
+    ("KeystoneKapersLite-v5", "KeystoneKapersEnv", "keystone_kapers"),
+    ("Pitfall2Lite-v5", "Pitfall2Env", "pitfall2"),
+    ("MrDoLite-v5", "MrDoEnv", "mr_do"),
+    ("BackgammonLite-v5", "BackgammonEnv", "backgammon"),
+    ("BlackjackLite-v5", "BlackjackEnv", "blackjack"),
+    ("CasinoLite-v5", "CasinoEnv", "casino"),
+    ("OthelloLite-v5", "OthelloEnv", "othello"),
+    ("TicTacToe3dLite-v5", "TicTacToe3dEnv", "tic_tac_toe_3d"),
+    ("VideoCheckersLite-v5", "VideoCheckersEnv", "video_checkers"),
+    ("VideoChessLite-v5", "VideoChessEnv", "video_chess"),
 ):
     register(
         task_id=_task_id,
