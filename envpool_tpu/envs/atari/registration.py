@@ -157,6 +157,25 @@ for _task_id, _cls, _task in (
     ("TicTacToe3dLite-v5", "TicTacToe3dEnv", "tic_tac_toe_3d"),
     ("VideoCheckersLite-v5", "VideoCheckersEnv", "video_checkers"),
     ("VideoChessLite-v5", "VideoChessEnv", "video_chess"),
+    ("TetrisLite-v5", "TetrisEnv", "tetris"),
+    ("KlaxLite-v5", "KlaxEnv", "klax"),
+    ("VideoCubeLite-v5", "VideoCubeEnv", "video_cube"),
+    ("BasicMathLite-v5", "BasicMathEnv", "basic_math"),
+    ("HangmanLite-v5", "HangmanEnv", "hangman"),
+    ("WordZapperLite-v5", "WordZapperEnv", "word_zapper"),
+    ("FlagCaptureLite-v5", "FlagCaptureEnv", "flag_capture"),
+    ("CrossbowLite-v5", "CrossbowEnv", "crossbow"),
+    ("DarkchambersLite-v5", "DarkchambersEnv", "darkchambers"),
+    ("EntombedLite-v5", "EntombedEnv", "entombed"),
+    ("EtLite-v5", "EtEnv", "et"),
+    ("TurmoilLite-v5", "TurmoilEnv", "turmoil"),
+    ("KoolaidLite-v5", "KoolaidEnv", "koolaid"),
+    ("HumanCannonballLite-v5", "HumanCannonballEnv", "human_cannonball"),
+    ("MiniatureGolfLite-v5", "MiniatureGolfEnv", "miniature_golf"),
+    ("JourneyEscapeLite-v5", "JourneyEscapeEnv", "journey_escape"),
+    ("LostLuggageLite-v5", "LostLuggageEnv", "lost_luggage"),
+    ("PacmanLite-v5", "PacmanEnv", "pacman"),
+    ("ElevatorActionLite-v5", "ElevatorActionEnv", "elevator_action"),
 ):
     register(
         task_id=_task_id,

@@ -357,7 +357,12 @@ class EarthworldGame(ArcadeGame):
         frame = jnp.where(sig & glow, 220.0, frame)
         pl = (jnp.abs(rows - g["py"]) < 4) & (jnp.abs(cols - g["px"]) < 3)
         frame = jnp.where(pl, 255.0, frame)
-        bar = (rows < 8) & (
+        # HUD: room indicator (always visible) + claimed-sigil bar.
+        room_bar = (rows < 5) & (
+            cols < (g["room"] + 1).astype(jnp.float32) * 30.0
+        )
+        frame = jnp.where(room_bar, 140.0, frame)
+        bar = (rows >= 5) & (rows < 9) & (
             cols < 160.0 * jnp.sum(g["claimed"]) / _EW_ROOMS
         )
         return jnp.where(bar, 200.0, frame)
