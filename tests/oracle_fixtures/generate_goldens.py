@@ -153,12 +153,64 @@ def gen_pgx():
     np.savez_compressed(os.path.join(HERE, "pgx_golden.npz"), **out)
 
 
+def gen_envpool():
+    """Record send/recv trajectories from the ACTUAL reference binary.
+
+    ``pip install envpool`` works on x86 CI (not in this image); the
+    recorded surface is the batched gymnasium API
+    (``envpool/python/envpool.py:297-334`` send/recv via step).  Only
+    the deterministic-dynamics classic-control family is exported: the
+    reference seeds episodes from per-env std::mt19937 draws
+    (``core/env.h:101-110``), so cross-RNG parity is defined at the
+    trajectory level — the lockstep test INJECTS the recorded initial
+    observation as state and compares pure dynamics from there
+    (SURVEY.md hard-part #4's documented decision).
+    """
+    import envpool
+
+    out = {}
+    for env_id, n_act in (
+        ("CartPole-v1", 2),
+        ("MountainCar-v0", 3),
+        ("Acrobot-v1", 3),
+        ("Pendulum-v1", 0),   # continuous
+    ):
+        for seed in (0, 1):
+            env = envpool.make(
+                env_id, env_type="gymnasium", num_envs=1, seed=seed
+            )
+            obs, _ = env.reset()
+            rng = np.random.default_rng(seed)
+            acts, obss, rews, terms = [], [obs[0]], [], []
+            for _ in range(100):
+                if n_act:
+                    a = np.asarray(
+                        [rng.integers(0, n_act)], np.int32
+                    )
+                else:
+                    a = rng.uniform(-2.0, 2.0, (1, 1)).astype(np.float32)
+                obs, r, term, trunc, _ = env.step(a)
+                acts.append(a[0])
+                obss.append(obs[0])
+                rews.append(float(r[0]))
+                terms.append(bool(term[0] | trunc[0]))
+                if terms[-1]:
+                    break
+            k = f"{env_id}|{seed}"
+            out[f"{k}|actions"] = np.asarray(acts)
+            out[f"{k}|obs"] = np.asarray(obss, np.float64)
+            out[f"{k}|rewards"] = np.asarray(rews, np.float64)
+            out[f"{k}|terms"] = np.asarray(terms, bool)
+    np.savez_compressed(os.path.join(HERE, "envpool_golden.npz"), **out)
+
+
 if __name__ == "__main__":
     for name, fn in (
         ("minigrid", gen_minigrid),
         ("highway", gen_highway),
         ("jumanji", gen_jumanji),
         ("pgx", gen_pgx),
+        ("envpool", gen_envpool),
     ):
         try:
             fn()

@@ -254,3 +254,67 @@ def test_jumanji_golden_sliding_tile():
             assert bool(out.terminated) == want_done
             if want_done:
                 break
+
+
+def test_envpool_golden_lockstep():
+    """Dynamics lockstep vs trajectories recorded from the ACTUAL
+    envpool binary (classic control; deterministic dynamics).
+
+    The recorded initial observation is injected as state (reference
+    episodes are seeded from per-env mt19937 draws, core/env.h:101-110,
+    so parity is defined at the trajectory level — SURVEY.md hard-part
+    #4), then our pure step_env must reproduce the reference's
+    obs/reward/termination sequence: tight for the first steps, within
+    float32-drift tolerance over the full 100-step horizon.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from envpool_tpu.core.registry import registry
+
+    data = _load("envpool")
+    episodes = _keys(data)
+    assert episodes, "empty envpool fixture"
+    checked = 0
+    for (env_id, seed), ep in sorted(episodes.items()):
+        env = registry._env(env_id, num_envs=1)
+        obs_ref = ep["obs"]
+        acts = ep["actions"]
+        # Recover internal state from the reference's first observation.
+        o0 = obs_ref[0]
+        if env_id.startswith("Pendulum"):
+            state = jnp.asarray(
+                [np.arctan2(o0[1], o0[0]), o0[2]], jnp.float32
+            )
+        elif env_id.startswith("Acrobot"):
+            state = jnp.asarray(
+                [np.arctan2(o0[1], o0[0]), np.arctan2(o0[3], o0[2]),
+                 o0[4], o0[5]], jnp.float32,
+            )
+        else:
+            state = jnp.asarray(o0, jnp.float32)
+        def _step(st, a, k):
+            o = env.step_env(st, a, k)
+            return o.state, o.obs["obs"], o.reward, o.terminated
+
+        step = jax.jit(_step)
+        for t in range(len(acts)):
+            a = jnp.asarray(acts[t])
+            state, obs_t, rew_t, term_t = step(
+                state, a, jax.random.PRNGKey(t)
+            )
+            got = np.asarray(obs_t, np.float64)
+            tol = 1e-4 if t < 10 else 5e-3 + 1e-3 * t
+            np.testing.assert_allclose(
+                got, obs_ref[t + 1], atol=tol, rtol=tol,
+                err_msg=f"{env_id} seed {seed} step {t}",
+            )
+            assert abs(float(rew_t) - ep["rewards"][t]) < 1e-3, (
+                env_id, seed, t
+            )
+            term = bool(term_t)
+            if ep["terms"][t] and t < len(acts) - 1:
+                assert term or t >= 98, (env_id, seed, t)
+                break
+        checked += 1
+    assert checked >= 4
