@@ -22,9 +22,12 @@ the EXACT published metaworld v2/v3 compute_reward formulas (long-tail
 tolerances, the full _gripper_caging_reward structure with y-caging /
 xz-alignment / effort gating / density blends, touch bonuses, and the
 snap-to-10 target radius), evaluated on the surrogate's state with a
-documented pad model; press/turn/slide keep the reference's
-reach ⊗ in-place hamacher structure scaled to [0, 10].  Crosschecked
-against independent scalar implementations in tests/test_metaworld.py.
+documented pad model; ten articulated tasks (button/coffee presses,
+drawer open/close, faucet open/close, window open/close, handle-press)
+use their published per-task laws too (_articulated_reward); the
+remaining press/turn/slide tasks keep the reference's reach ⊗ in-place
+hamacher structure scaled to [0, 10].  Crosschecked against
+independent scalar implementations in tests/test_metaworld.py.
 """
 
 from __future__ import annotations
@@ -57,19 +60,25 @@ def _tolerance(d, margin):
     return 1.0 / (1.0 + (d / margin) ** 2)
 
 
-def _tolerance_exact(d, bound, margin, value_at_margin=0.1, lo=0.0):
-    """metaworld reward_utils.tolerance with sigmoid="long_tail".
+def _tolerance_exact(d, bound, margin, value_at_margin=0.1, lo=0.0,
+                     sigmoid="long_tail"):
+    """metaworld reward_utils.tolerance (long_tail / gaussian).
 
-    Exactly dm_control's long_tail: 1 inside [lo, bound]; outside,
-    1 / ((x·scale)² + 1) with x = distance-outside-the-nearest-bound /
-    margin and scale chosen so the value at x = 1 equals
+    Exactly dm_control's sigmoids: 1 inside [lo, bound]; outside, with
+    x = distance-outside-the-nearest-bound / margin,
+    long_tail = 1 / ((x·scale)² + 1) and gaussian = exp(−0.5 (x·scale)²),
+    each with scale chosen so the value at x = 1 equals
     ``value_at_margin`` (default 0.1).
     """
-    scale = jnp.sqrt(1.0 / value_at_margin - 1.0)
     below = d < lo
     above = d > bound
     x = jnp.where(above, d - bound, lo - d) / jnp.maximum(margin, 1e-8)
-    out = 1.0 / ((x * scale) ** 2 + 1.0)
+    if sigmoid == "gaussian":
+        scale = jnp.sqrt(-2.0 * jnp.log(value_at_margin))
+        out = jnp.exp(-0.5 * (x * scale) ** 2)
+    else:
+        scale = jnp.sqrt(1.0 / value_at_margin - 1.0)
+        out = 1.0 / ((x * scale) ** 2 + 1.0)
     return jnp.where(below | above, out, 1.0)
 
 
@@ -144,6 +153,152 @@ def _gripper_caging_reward(tcp, grip, a_grip, obj, obj_init, *,
     return caging_and_gripping
 
 
+
+# Articulated tasks with the published per-task compute_reward law
+# implemented exactly (button/coffee-button presses, drawer open/close,
+# faucet open/close, window open/close, handle-press).  Constants are
+# the metaworld v2/v3 sources' bounds/margins/weights; the CI goldens
+# job (generate_goldens.py) can lockstep them against an installed
+# metaworld.
+_EXACT_ARTICULATED = frozenset({
+    "button-press-v3", "button-press-topdown-v3", "coffee-button-v3",
+    "drawer-open-v3", "drawer-close-v3", "faucet-open-v3",
+    "faucet-close-v3", "window-open-v3", "window-close-v3",
+    "handle-press-v3",
+})
+
+
+def _articulated_reward(name, tcp, grip, a, obj, obj0, goal, prev_tcp):
+    """(reward_0_10, reach_like, in_place, target_d) for the exact
+    articulated task laws.
+
+    metaworld's SawyerButtonPressEnvV2 / SawyerCoffeeButtonEnvV2 /
+    SawyerDrawerOpenEnvV2 / SawyerDrawerCloseEnvV2 /
+    SawyerFaucetOpenEnvV2(+Close) / SawyerWindowOpenEnvV2(+Close) /
+    SawyerHandlePressEnvV2 compute_reward structures.
+    """
+    init_tcp = jnp.asarray(_HAND_INIT)
+    tcp_to_obj = jnp.linalg.norm(obj - tcp)
+    tcp_to_obj_init = jnp.linalg.norm(obj0 - init_tcp)
+    tcp_closed = jnp.clip(1.0 - grip, 0.0, 1.0)
+
+    if name in ("button-press-v3", "button-press-topdown-v3"):
+        # Press axis: y for the side press, z for topdown.
+        dim = 1 if name == "button-press-v3" else 2
+        obj_to_target = jnp.abs(obj[dim] - goal[dim])
+        obj_to_target_init = jnp.abs(obj0[dim] - goal[dim])
+        near_button = _tolerance_exact(
+            tcp_to_obj, 0.01, tcp_to_obj_init
+        )
+        button_pressed = _tolerance_exact(
+            obj_to_target, 0.005, obj_to_target_init
+        )
+        reward = 5.0 * _hamacher(tcp_closed, near_button)
+        reward = jnp.where(
+            tcp_to_obj <= 0.03, reward + 5.0 * button_pressed, reward
+        )
+        return reward, near_button, button_pressed, obj_to_target
+    if name == "coffee-button-v3":
+        obj_to_target = jnp.abs(obj[1] - goal[1])
+        obj_to_target_init = jnp.abs(obj0[1] - goal[1])
+        near_button = _tolerance_exact(
+            tcp_to_obj, 0.05, tcp_to_obj_init
+        )
+        button_pressed = _tolerance_exact(
+            obj_to_target, 0.005, obj_to_target_init
+        )
+        reward = 2.0 * _hamacher(tcp_closed, near_button)
+        reward = jnp.where(
+            tcp_to_obj <= 0.05, reward + 8.0 * button_pressed, reward
+        )
+        return reward, near_button, button_pressed, obj_to_target
+    if name == "drawer-open-v3":
+        # maxDist = the drawer's full travel; caging error scaled
+        # (3, 3, 1) so lateral alignment dominates.
+        max_dist = jnp.linalg.norm(goal - obj0)
+        handle_error = jnp.linalg.norm(obj - goal)
+        opening = _tolerance_exact(handle_error, 0.02, max_dist)
+        scale = jnp.asarray([3.0, 3.0, 1.0])
+        gripper_error = (obj - tcp) * scale
+        gripper_error_init = (obj0 - init_tcp) * scale
+        caging = _tolerance_exact(
+            jnp.linalg.norm(gripper_error), 0.01,
+            jnp.linalg.norm(gripper_error_init),
+        )
+        reward = 5.0 * (caging + opening)
+        return reward, caging, opening, handle_error
+    if name == "drawer-close-v3":
+        radius = 0.05
+        target_to_obj = jnp.abs(obj[1] - goal[1])
+        target_to_obj_init = jnp.abs(obj0[1] - goal[1])
+        in_place = _tolerance_exact(
+            target_to_obj, radius,
+            jnp.abs(target_to_obj_init - radius),
+        )
+        handle_radius = 0.005
+        reach = _tolerance_exact(
+            tcp_to_obj, handle_radius,
+            jnp.abs(tcp_to_obj_init - handle_radius),
+            sigmoid="gaussian",
+        )
+        gripper_closed = jnp.clip(a[3], 0.0, 1.0)
+        reach = _hamacher(reach, gripper_closed)
+        reward = _hamacher(reach, in_place)
+        reward = jnp.where(target_to_obj <= radius + 0.015, 1.0, reward)
+        return reward * 10.0, reach, in_place, target_to_obj
+    if name in ("faucet-open-v3", "faucet-close-v3"):
+        radius = 0.07
+        target_to_obj = jnp.linalg.norm(obj - goal)
+        target_to_obj_init = jnp.linalg.norm(obj0 - goal)
+        in_place = _tolerance_exact(
+            target_to_obj, radius,
+            jnp.abs(target_to_obj_init - radius),
+        )
+        reach_radius = 0.01
+        reach = _tolerance_exact(
+            tcp_to_obj, reach_radius,
+            jnp.abs(tcp_to_obj_init - reach_radius),
+            sigmoid="gaussian",
+        )
+        reward = 2.0 * reach + 3.0 * in_place
+        reward = reward * 2.0
+        reward = jnp.where(target_to_obj <= radius, 10.0, reward)
+        return reward, reach, in_place, target_to_obj
+    if name in ("window-open-v3", "window-close-v3"):
+        radius = 0.05
+        target_to_obj = jnp.abs(obj[0] - goal[0])
+        target_to_obj_init = jnp.abs(obj0[0] - goal[0])
+        in_place = _tolerance_exact(
+            target_to_obj, radius,
+            jnp.abs(target_to_obj_init - radius),
+        )
+        handle_radius = 0.02
+        reach = _tolerance_exact(
+            tcp_to_obj, handle_radius,
+            jnp.abs(tcp_to_obj_init - handle_radius),
+            sigmoid="gaussian",
+        )
+        reward = 10.0 * _hamacher(reach, in_place)
+        return reward, reach, in_place, target_to_obj
+    if name == "handle-press-v3":
+        radius = 0.02
+        target_to_obj = jnp.abs(obj[2] - goal[2])
+        target_to_obj_init = jnp.abs(obj0[2] - goal[2])
+        in_place = _tolerance_exact(
+            target_to_obj, radius,
+            jnp.abs(target_to_obj_init - radius),
+        )
+        handle_radius = 0.02
+        reach = _tolerance_exact(
+            tcp_to_obj, handle_radius,
+            jnp.abs(tcp_to_obj_init - handle_radius),
+        )
+        reward = _hamacher(reach, in_place)
+        reward = jnp.where(target_to_obj <= radius, 1.0, reward)
+        return reward * 10.0, reach, in_place, target_to_obj
+    raise KeyError(name)
+
+
 class SawyerEnv(TpuEnv):
     """All 50 MetaWorld tasks via the ``task_name`` config key."""
 
@@ -156,6 +311,7 @@ class SawyerEnv(TpuEnv):
     def __init__(self, config):
         super().__init__(config)
         name = str(config["task_name"])
+        self.task_name = name
         (self.category, obj_lo, obj_hi, goal_lo, goal_hi, self.thr,
          axis) = TASKS[name]
         self.obj_lo = np.asarray(obj_lo, np.float32)
@@ -377,6 +533,18 @@ class SawyerEnv(TpuEnv):
             touch = (tcp_to_obj < 0.02) & (grip > 0.0) & lifted
             r = jnp.where(touch, r + 1.0 + 5.0 * in_place, r)
             unscaled = jnp.where(target_d < _TARGET_RADIUS, 10.0, r)
+        elif self.task_name in _EXACT_ARTICULATED:
+            # Published per-task compute_reward laws (see
+            # _articulated_reward) — structure and constants from the
+            # metaworld v2/v3 sources, evaluated on the surrogate's
+            # object state and crosschecked against independent scalar
+            # implementations in tests/test_metaworld.py.
+            unscaled, grasp_reward, in_place, target_d = (
+                _articulated_reward(
+                    self.task_name, tcp, grip, a, obj, obj0,
+                    state["goal"], state["tcp"],
+                )
+            )
         else:
             target_d = jnp.linalg.norm(obj - state["goal"])
             reach = _tolerance(tcp_to_obj, 0.08)
@@ -388,6 +556,8 @@ class SawyerEnv(TpuEnv):
             reward = unscaled * 10.0  # metaworld reach has no override
         elif self.category in ("push", "pick"):
             reward = unscaled  # already on the 0-10 scale
+        elif self.task_name in _EXACT_ARTICULATED:
+            reward = unscaled  # per-task law is already on the 0-10 scale
         else:
             reward = jnp.where(success, 10.0, unscaled * 10.0)
 

@@ -306,3 +306,104 @@ def test_pick_place_reward_matches_published_formula():
         return 10.0 if target_d < 0.05 else r
 
     _rollout_vs_scalar("MetaWorld/PickPlace-v3", scalar, 9)
+
+
+def _scalar_tol_gauss(d, bound, margin, vam=0.1):
+    import math
+
+    if d < bound:
+        return 1.0
+    x = (d - bound) / max(margin, 1e-8)
+    scale = math.sqrt(-2.0 * math.log(vam))
+    return math.exp(-0.5 * (x * scale) ** 2)
+
+
+def test_button_press_reward_matches_published_formula():
+    """SawyerButtonPressEnvV2.compute_reward: 5·hamacher(tcp_closed,
+    near_button) + 5·button_pressed gated at tcp_to_obj <= 0.03, with
+    long-tail tolerances on (0, 0.01) / (0, 0.005)."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        tcp_to_obj = float(np.linalg.norm(obj - tcp))
+        tcp_to_obj_init = float(np.linalg.norm(obj0 - hand_init))
+        obj_to_target = abs(obj[1] - goal[1])
+        obj_to_target_init = abs(obj0[1] - goal[1])
+        tcp_closed = min(max(1.0 - grip, 0.0), 1.0)
+        near = _scalar_tolerance(tcp_to_obj, 0.01, tcp_to_obj_init)
+        pressed = _scalar_tolerance(
+            obj_to_target, 0.005, obj_to_target_init
+        )
+        r = 5.0 * _scalar_hamacher(tcp_closed, near)
+        if tcp_to_obj <= 0.03:
+            r += 5.0 * pressed
+        return r
+
+    _rollout_vs_scalar("MetaWorld/ButtonPress-v3", scalar, 11)
+
+
+def test_drawer_open_reward_matches_published_formula():
+    """SawyerDrawerOpenEnvV2.compute_reward: 5·(caging + opening) with
+    the (3, 3, 1)-scaled gripper error."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        max_dist = float(np.linalg.norm(goal - obj0))
+        handle_error = float(np.linalg.norm(obj - goal))
+        opening = _scalar_tolerance(handle_error, 0.02, max_dist)
+        scale = np.asarray([3.0, 3.0, 1.0])
+        ge = float(np.linalg.norm((obj - tcp) * scale))
+        ge0 = float(np.linalg.norm((obj0 - hand_init) * scale))
+        caging = _scalar_tolerance(ge, 0.01, ge0)
+        return 5.0 * (caging + opening)
+
+    _rollout_vs_scalar("MetaWorld/DrawerOpen-v3", scalar, 13)
+
+
+def test_faucet_open_reward_matches_published_formula():
+    """SawyerFaucetOpenEnvV2.compute_reward: (2·reach + 3·in_place)·2
+    with a gaussian reach sigmoid, snapped to 10 inside 0.07."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        radius = 0.07
+        t2o = float(np.linalg.norm(obj - goal))
+        t2o0 = float(np.linalg.norm(obj0 - goal))
+        in_place = _scalar_tolerance(t2o, radius, abs(t2o0 - radius))
+        tcp_to_obj = float(np.linalg.norm(obj - tcp))
+        tcp_to_obj_init = float(np.linalg.norm(obj0 - hand_init))
+        reach = _scalar_tol_gauss(
+            tcp_to_obj, 0.01, abs(tcp_to_obj_init - 0.01)
+        )
+        r = (2.0 * reach + 3.0 * in_place) * 2.0
+        return 10.0 if t2o <= radius else r
+
+    _rollout_vs_scalar("MetaWorld/FaucetOpen-v3", scalar, 17)
+
+
+def test_window_open_reward_matches_published_formula():
+    """SawyerWindowOpenEnvV2.compute_reward: 10·hamacher(reach,
+    in_place) on the slide (x) axis."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        radius = 0.05
+        t2o = abs(obj[0] - goal[0])
+        t2o0 = abs(obj0[0] - goal[0])
+        in_place = _scalar_tolerance(t2o, radius, abs(t2o0 - radius))
+        tcp_to_obj = float(np.linalg.norm(obj - tcp))
+        tcp_to_obj_init = float(np.linalg.norm(obj0 - hand_init))
+        reach = _scalar_tol_gauss(
+            tcp_to_obj, 0.02, abs(tcp_to_obj_init - 0.02)
+        )
+        return 10.0 * _scalar_hamacher(reach, in_place)
+
+    _rollout_vs_scalar("MetaWorld/WindowOpen-v3", scalar, 19)
