@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .model import FREE, HINGE, SLIDE, PhysModel
+from .model import BALL, FREE, HINGE, SLIDE, PhysModel
 
 __all__ = [
     "quat2mat",
@@ -113,6 +113,14 @@ def fk(model: PhysModel, q: jax.Array):
                 rot = _axis_angle(axis_w, q[adr] - float(q0[adr]))
                 R = rot @ R
                 p = anchor_w + rot @ (p - anchor_w)
+            elif jtype == BALL:
+                # mj_kinematics: xquat = xquat * qloc (local rotation in
+                # the CHILD frame) about the joint anchor; the anchor
+                # point stays fixed.
+                anchor_w = p + R @ jnp.asarray(model.jnt_pos[j], dtype)
+                quat = q[adr : adr + 4]
+                R = R @ quat2mat(quat / jnp.linalg.norm(quat))
+                p = anchor_w - R @ jnp.asarray(model.jnt_pos[j], dtype)
             else:
                 raise NotImplementedError(f"joint type {jtype}")
         Rs.append(R)
@@ -171,6 +179,16 @@ def fk_dof(model: PhysModel, q: jax.Array):
                 rot = _axis_angle(axis_w, q[adr] - float(model.qpos0[adr]))
                 R = rot @ R
                 p = anchor_w + rot @ (p - anchor_w)
+            elif jtype == BALL:
+                anchor_w = p + R @ jnp.asarray(model.jnt_pos[j], dtype)
+                quat = q[adr : adr + 4]
+                R = R @ quat2mat(quat / jnp.linalg.norm(quat))
+                p = anchor_w - R @ jnp.asarray(model.jnt_pos[j], dtype)
+                # Angular velocity lives in the post-joint child frame
+                # (MuJoCo cdof for balls), anchored at the joint.
+                for i in range(3):
+                    w[d + i] = R[:, i]
+                    c[d + i] = anchor_w
             else:
                 raise NotImplementedError(f"joint type {jtype}")
         Rs.append(R)
@@ -199,12 +217,13 @@ def tangent(model: PhysModel, q: jax.Array, qd: jax.Array) -> jax.Array:
         )
     for qadr, dadr in s.free_jnts:
         qdot = qdot.at[qadr : qadr + 3].set(qd[dadr : dadr + 3])
-        quat = q[qadr + 3 : qadr + 7]
-        omega_body = qd[dadr + 3 : dadr + 6]
+    for qadr, dadr in s.quat_jnts:
+        quat = q[qadr : qadr + 4]
+        omega_body = qd[dadr : dadr + 3]
         dq = 0.5 * _quat_mul(
             quat, jnp.concatenate([jnp.zeros(1, q.dtype), omega_body])
         )
-        qdot = qdot.at[qadr + 3 : qadr + 7].set(dq)
+        qdot = qdot.at[qadr : qadr + 4].set(dq)
     return qdot
 
 
@@ -237,8 +256,9 @@ def integrate_qpos(
         out = out.at[qadr : qadr + 3].set(
             q[qadr : qadr + 3] + h * qd[dadr : dadr + 3]
         )
-        quat = q[qadr + 3 : qadr + 7]
-        omega = qd[dadr + 3 : dadr + 6]
+    for qadr, dadr in s.quat_jnts:
+        quat = q[qadr : qadr + 4]
+        omega = qd[dadr : dadr + 3]
         angle = jnp.linalg.norm(omega) * h
         axis = omega / (jnp.linalg.norm(omega) + 1e-12)
         dq = jnp.concatenate(
@@ -246,5 +266,5 @@ def integrate_qpos(
         )
         new_quat = _quat_mul(quat, dq)
         new_quat = new_quat / jnp.linalg.norm(new_quat)
-        out = out.at[qadr + 3 : qadr + 7].set(new_quat)
+        out = out.at[qadr : qadr + 4].set(new_quat)
     return out

@@ -166,8 +166,11 @@ def from_mj_model(m) -> PhysModel:
     import mujoco
 
     for j in range(m.njnt):
-        if m.jnt_type[j] == BALL:
-            raise NotImplementedError("ball joints not supported yet")
+        if m.jnt_type[j] == BALL and m.jnt_limited[j]:
+            raise NotImplementedError(
+                "ball-joint limits not supported (cone limits need the "
+                "rotation-angle constraint row)"
+            )
 
     # Ground-contact spheres from sphere/capsule geoms on moving bodies.
     # Contacts exist only against a world-attached plane geom, honoring

@@ -27,12 +27,12 @@ import functools
 
 import numpy as np
 
-from .model import FREE, HINGE, SLIDE, PhysModel
+from .model import BALL, FREE, HINGE, SLIDE, PhysModel
 
 __all__ = ["DofStructure", "dof_structure"]
 
 # Per-dof kinds.
-D_SLIDE, D_HINGE, D_FREET, D_FREER = 0, 1, 2, 3
+D_SLIDE, D_HINGE, D_FREET, D_FREER, D_BALL = 0, 1, 2, 3, 4
 
 
 class DofStructure:
@@ -55,6 +55,10 @@ class DofStructure:
                     dof_kind[d + i] = D_FREET
                     dof_jnt[d + 3 + i], dof_body[d + 3 + i] = j, b
                     dof_kind[d + 3 + i] = D_FREER
+            elif jt == BALL:
+                for i in range(3):
+                    dof_jnt[d + i], dof_body[d + i] = j, b
+                    dof_kind[d + i] = D_BALL
             elif jt in (SLIDE, HINGE):
                 dof_jnt[d], dof_body[d] = j, b
                 dof_kind[d] = D_SLIDE if jt == SLIDE else D_HINGE
@@ -96,7 +100,12 @@ class DofStructure:
             for k2 in range(nv):
                 b2, j2 = int(dof_body[k2]), int(dof_jnt[k2])
                 if b2 == b:
-                    prec[k2, k] = j2 < j
+                    # Ball axes (child-frame columns) are rotated by the
+                    # ball's OWN dofs too (self-pairs give w x w = 0,
+                    # harmless); hinge/slide axes only by earlier joints.
+                    prec[k2, k] = (
+                        j2 <= j if dof_kind[k] == D_BALL else j2 < j
+                    )
                 else:
                     prec[k2, k] = anc[b2, b]
 
@@ -240,6 +249,16 @@ class DofStructure:
             (int(model.jnt_qposadr[j]), int(model.jnt_dofadr[j]))
             for j in range(nj)
             if int(model.jnt_type[j]) == FREE
+        ]
+        # Quaternion blocks (qadr, dadr): free-joint rotations + balls —
+        # both use body-frame angular velocity with q-dot = 0.5 q (x)
+        # [0, w] and exp-map integration.
+        self.quat_jnts = [
+            (qadr + 3, dadr + 3) for qadr, dadr in self.free_jnts
+        ] + [
+            (int(model.jnt_qposadr[j]), int(model.jnt_dofadr[j]))
+            for j in range(nj)
+            if int(model.jnt_type[j]) == BALL
         ]
         # Non-free qpos<->dof index maps (scatter/gather in one op).
         nf_q, nf_d = [], []

@@ -246,3 +246,59 @@ def test_pair_contacts_scalar_matches_einsum() -> None:
     sc = step_batched(pm, qpos, qvel, ctrl, 2, cp, 2)
     np.testing.assert_allclose(sc[0], ref[0], rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(sc[1], ref[1], rtol=2e-3, atol=2e-3)
+
+
+_BALL_XML = """
+<mujoco>
+  <option timestep="0.01" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body name="rod" pos="0 0 1">
+      <joint name="swivel" type="ball" pos="0 0 0" damping="0.02"/>
+      <geom type="capsule" fromto="0 0 0 0 0 -0.4" size="0.02"
+            density="1000"/>
+      <body name="tip" pos="0.05 0 -0.4">
+        <joint name="elbow" type="hinge" axis="0 1 0" damping="0.01"/>
+        <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.015"
+              density="800"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_ball_joint_pendulum_matches_mujoco() -> None:
+    """Ball-joint spherical pendulum (+ a hinge child): FK, mass
+    matrix, bias forces, and a 50-step passive rollout aligned vs
+    mj_step (quaternion kinematics q-dot = 0.5 q (x) [0, w], child-frame
+    cdof axes, exp-map integration)."""
+    m = mujoco.MjModel.from_xml_string(_BALL_XML)
+    pm = from_mj_model(m)
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(0)
+    # Random non-identity ball orientation + hinge angle.
+    quat = rng.normal(size=4)
+    quat /= np.linalg.norm(quat)
+    d.qpos[:4] = quat
+    d.qpos[4] = 0.3
+    d.qvel[:] = rng.uniform(-0.3, 0.3, m.nv)
+    mujoco.mj_forward(m, d)
+    q = jnp.asarray(d.qpos, jnp.float32)
+    qd = jnp.asarray(d.qvel, jnp.float32)
+    # Mass matrix.
+    M_ours = np.asarray(mass_matrix(pm, q))
+    M_mj = np.zeros((m.nv, m.nv))
+    mujoco.mj_fullM(m, d, M_mj)
+    np.testing.assert_allclose(M_ours, M_mj, atol=1e-5)
+    # Bias forces.
+    b_ours = np.asarray(bias_forces(pm, q, qd))
+    np.testing.assert_allclose(b_ours, d.qfrc_bias, atol=1e-4)
+    # Passive rollout.
+    max_err = 0.0
+    for _ in range(50):
+        mujoco.mj_step(m, d)
+        q, qd = step(pm, q, qd, jnp.zeros((0,), jnp.float32))
+        max_err = max(
+            max_err, float(np.abs(np.asarray(q) - d.qpos).max())
+        )
+    assert max_err < 2e-4, max_err
