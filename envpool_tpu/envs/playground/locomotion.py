@@ -45,6 +45,11 @@ _QUADRUPEDS = ("go1", "barkour", "spot")
 def _base_model(kind: str):
     import mujoco
 
+    if kind == "go1":
+        from .go1_model import go1_xml
+
+        m = mujoco.MjModel.from_xml_string(go1_xml())
+        return from_mj_model(m), m
     if kind == "quadruped":
         from dm_control.suite import common, quadruped
 
@@ -106,14 +111,29 @@ class _LocomotionBase(TpuEnv):
     def __init__(self, config):
         super().__init__(config)
         robot = str(config["robot"])
-        kind = "quadruped" if robot in _QUADRUPEDS else "humanoid"
+        # Go1 runs its REAL morphology (go1_model.py); the others still
+        # use the documented dm_control stand-ins.
+        if robot == "go1":
+            kind = "go1"
+        elif robot in _QUADRUPEDS:
+            kind = "quadruped"
+        else:
+            kind = "humanoid"
+        self.real_morph = kind == "go1"
         self.model, self._mj = _base_model(kind)
+        if self.real_morph:
+            # Penalty-contact stiffness sized to the Go1's light feet
+            # (~0.3 kg effective): sqrt(k/m)*dt must stay << 1 at
+            # dt = 4 ms or the first touch explodes.
+            self.contact_override = ContactParams(kp=2.0e3, kd=1.2e2)
         self.nu_agent = ROBOT_NU[robot]
         self.nu_sim = self.model.nu
         self.n_sub = max(
             1, round(float(config["ctrl_dt"]) / self.model.timestep)
         )
         self.contact = ContactParams(kp=2.0e4, kd=2.0e2)
+        if getattr(self, "contact_override", None) is not None:
+            self.contact = self.contact_override
         self.substeps = 2
         self._torso = self.model.body_names.index("torso")
         self._hinge_qadr = np.asarray(
@@ -139,6 +159,23 @@ class _LocomotionBase(TpuEnv):
         ctrl = jnp.zeros(self.nu_sim, jnp.float32)
         ctrl = ctrl.at[:n].set(a[:n])
         return ctrl
+
+    def _pd_ctrl(self, action, qpos, qvel):
+        """Playground PD recipe on a real morphology: torque =
+        kp*(default_pose + action_scale*a - q) - kd*qd, clamped to the
+        robot's published torque limits (go1_model.TORQUE_LIMIT)."""
+        from .go1_model import DEFAULT_POSE, TORQUE_LIMIT
+
+        a = jnp.clip(action, -1.0, 1.0) * float(self.config["action_scale"])
+        target = jnp.asarray(DEFAULT_POSE) + a
+        jp = qpos[jnp.asarray(self._hinge_qadr)]
+        jv = qvel[jnp.asarray(self._hinge_dadr)]
+        torque = (
+            float(self.config["kp"]) * (target - jp)
+            - float(self.config["kd"]) * jv
+        )
+        lim = jnp.asarray(TORQUE_LIMIT)
+        return jnp.clip(torque, -lim, lim)
 
     def _obs_vec(self, qpos, qvel, prev_action, command):
         Rs, _ = fk(self.model, qpos)
@@ -177,6 +214,12 @@ class _LocomotionBase(TpuEnv):
 
     def _init_qpos(self, key):
         qpos = jnp.asarray(self.model.qpos0, jnp.float32)
+        if self.real_morph:
+            from .go1_model import DEFAULT_POSE
+
+            qpos = qpos.at[jnp.asarray(self._hinge_qadr)].set(
+                jnp.asarray(DEFAULT_POSE)
+            )
         # Drop the base to rest height.
         from ...physics.dynamics import _contact_points
 
@@ -230,11 +273,16 @@ class _LocomotionBase(TpuEnv):
         }
 
     def _step_sim(self, st, action):
+        ctrl = (
+            self._pd_ctrl(action, st["qpos"], st["qvel"])
+            if self.real_morph
+            else self._sim_ctrl(action)
+        )
         qpos, qvel = phys_step(
             self.model,
             st["qpos"],
             st["qvel"],
-            self._sim_ctrl(action),
+            ctrl,
             self.substeps,
             self.contact,
             self.n_sub * max(1, int(self.config["action_repeat"])),
