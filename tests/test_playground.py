@@ -178,9 +178,10 @@ def test_go1_runs_real_morphology():
     assert env.model.nv == 18  # free base + 12 hinges
     st, obs = env.reset_env(jax.random.PRNGKey(0))
     z0 = float(st["qpos"][2])
-    step = jax.jit(env.step_env)
     for t in range(25):
-        out = step(st, jnp.zeros(12, jnp.float32), jax.random.PRNGKey(t))
+        out = env.step_env(
+            st, jnp.zeros(12, jnp.float32), jax.random.PRNGKey(t)
+        )
         st = out.state
     z = float(st["qpos"][2])
     # PD holds the standing pose: torso neither collapsed nor launched.
