@@ -69,7 +69,7 @@ def go1_xml() -> str:
     return f"""
 <mujoco model="go1">
   <compiler angle="radian"/>
-  <option timestep="0.004" gravity="0 0 -9.81"/>
+  <option timestep="0.002" gravity="0 0 -9.81"/>
   <worldbody>
     <geom name="floor" type="plane" size="20 20 0.1" friction="0.8"/>
     <body name="torso" pos="0 0 0.445">

@@ -273,19 +273,34 @@ class _LocomotionBase(TpuEnv):
         }
 
     def _step_sim(self, st, action):
-        ctrl = (
-            self._pd_ctrl(action, st["qpos"], st["qvel"])
-            if self.real_morph
-            else self._sim_ctrl(action)
-        )
+        n_steps = self.n_sub * max(1, int(self.config["action_repeat"]))
+        if self.real_morph:
+            # PD torques recomputed every SIM step (the playground's
+            # motor model runs at sim dt): holding the derivative term
+            # frozen across the 20 ms control step destabilizes the
+            # roll/abduction mode (delayed rate feedback — observed
+            # doubling per control step before this).
+            def body(carry, _):
+                qpos, qvel = carry
+                ctrl = self._pd_ctrl(action, qpos, qvel)
+                qpos, qvel = phys_step(
+                    self.model, qpos, qvel, ctrl, self.substeps,
+                    self.contact, 1,
+                )
+                return (qpos, qvel), None
+
+            (qpos, qvel), _ = jax.lax.scan(
+                body, (st["qpos"], st["qvel"]), None, length=n_steps
+            )
+            return qpos, qvel
         qpos, qvel = phys_step(
             self.model,
             st["qpos"],
             st["qvel"],
-            ctrl,
+            self._sim_ctrl(action),
             self.substeps,
             self.contact,
-            self.n_sub * max(1, int(self.config["action_repeat"])),
+            n_steps,
         )
         return qpos, qvel
 
