@@ -136,6 +136,9 @@ class DoomEnv(TpuEnv):
             )
             self.sc = dataclasses.replace(self.sc, grid=grid)
         self.walls = jnp.asarray(self.sc.grid)
+        from .raycast import extract_cells
+
+        self.wall_cells = extract_cells(self.sc.grid)
         self.g_size = self.sc.grid.shape[0]
         self.buttons = list(self.sc.buttons)
         self.action_set = jnp.asarray(
@@ -328,6 +331,7 @@ class DoomEnv(TpuEnv):
             spr_xy, spr_type, spr_alive,
             flash=g["flash"], hurt=g["hurt"],
             weapon_up=jnp.float32(1.0 if sc.ammo0 > 0 else 0.0),
+            wall_cells=self.wall_cells,
         )  # [H, W, 3] float
         if sc.channels == 1:
             lum = (

@@ -75,6 +75,86 @@ def grid_lookup(walls, iy, ix):
     )
 
 
+def extract_cells(grid_np):
+    """Static wall BOXES (x0, x1, y0, y1, type) from a numpy grid.
+
+    The wall layout is scenario-static; same-type cells are greedily
+    merged into maximal rectangles (horizontal runs, then vertical
+    stacking of equal runs), so a perimeter arena collapses from ~90
+    cells to a handful of boxes — the ray-box slab test then touches
+    10-20x less data per frame.
+    """
+    g = np.asarray(grid_np).copy()
+    boxes = []
+    h, w = g.shape
+    used = np.zeros_like(g, bool)
+    for y in range(h):
+        x = 0
+        while x < w:
+            t = g[y, x]
+            if t <= 0 or used[y, x]:
+                x += 1
+                continue
+            # Horizontal run of type t.
+            x1 = x
+            while x1 + 1 < w and g[y, x1 + 1] == t and not used[y, x1 + 1]:
+                x1 += 1
+            # Extend downward while the whole run matches.
+            y1 = y
+            while y1 + 1 < h and np.all(
+                (g[y1 + 1, x : x1 + 1] == t)
+                & ~used[y1 + 1, x : x1 + 1]
+            ):
+                y1 += 1
+            used[y : y1 + 1, x : x1 + 1] = True
+            boxes.append((x, x1 + 1, y, y1 + 1, t))
+            x = x1 + 1
+    b = np.asarray(boxes, np.float32).reshape(-1, 5)
+    return (b[:, 0], b[:, 1], b[:, 2], b[:, 3], b[:, 4])
+
+
+def cast_rays_cells(cells, px, py, ang):
+    """Closed-form per-column wall hit via AABB slab tests.
+
+    Replaces the 28-iteration sequential DDA scan (its per-iteration
+    one-hot grid lookups were the family's latency floor) with ONE
+    [W, K] program over the K static wall cells: entry distance
+    t = max(min-slab), hit if the slab interval is non-empty and ahead
+    of the ray origin.  Produces the DDA's observables (perpendicular
+    distance to the entry face, wall type, hit side).
+    """
+    cx0, cx1, cy0, cy1, ct = (jnp.asarray(c) for c in cells)  # [K]
+    cols = (jnp.arange(W, dtype=jnp.float32) / (W - 1) - 0.5) * 2.0
+    ra = ang + jnp.arctan(cols * jnp.tan(FOV / 2))
+    dx, dy = jnp.cos(ra), jnp.sin(ra)
+    dx = jnp.where(jnp.abs(dx) < 1e-6, 1e-6, dx)
+    dy = jnp.where(jnp.abs(dy) < 1e-6, 1e-6, dy)
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    tx1 = (cx0[None, :] - px) * inv_dx[:, None]
+    tx2 = (cx1[None, :] - px) * inv_dx[:, None]
+    ty1 = (cy0[None, :] - py) * inv_dy[:, None]
+    ty2 = (cy1[None, :] - py) * inv_dy[:, None]
+    txmin = jnp.minimum(tx1, tx2)
+    txmax = jnp.maximum(tx1, tx2)
+    tymin = jnp.minimum(ty1, ty2)
+    tymax = jnp.maximum(ty1, ty2)
+    tmin = jnp.maximum(txmin, tymin)
+    tmax = jnp.minimum(txmax, tymax)
+    ok = (tmax >= tmin) & (tmin > 1e-6)  # ahead of origin; start cell open
+    t = jnp.where(ok, tmin, jnp.inf)
+    k = jnp.argmin(t, axis=1)                      # [W]
+    oh = jax.nn.one_hot(k, t.shape[1], dtype=jnp.float32)
+    dist_e = jnp.min(t, axis=1)
+    hit = jnp.isfinite(dist_e)
+    wtype = jnp.where(hit, oh @ ct, 1.0)
+    side_k = jnp.where(txmin > tymin, 0.0, 1.0)    # [W, K] entry slab
+    side = jnp.einsum("wk,wk->w", oh, side_k)
+    dist = dist_e * jnp.cos(ra - ang)
+    dist = jnp.where(hit, jnp.maximum(dist, 0.05), 30.0)
+    return dist, wtype, side
+
+
 def cast_rays(walls, px, py, ang):
     """Per-column wall hit: → (dist[W], wtype[W], side[W]).
 
@@ -130,14 +210,20 @@ def render_frame(
     walls, px, py, ang,
     spr_xy, spr_type, spr_alive,
     flash=0.0, hurt=0.0, weapon_up=1.0,
+    wall_cells=None,
 ):
     """→ [H, W, 3] float frame (0..255).
 
     ``spr_xy [N,2]``, ``spr_type [N]``, ``spr_alive [N]`` are the
     billboard entities; ``flash`` is muzzle-flash intensity, ``hurt``
     a red damage tint, ``weapon_up`` toggles the weapon overlay.
+    ``wall_cells`` (static (xs, ys, types) from :func:`extract_cells`)
+    selects the closed-form caster; without it the DDA scan runs.
     """
-    dist, wtype, side = cast_rays(walls, px, py, ang)
+    if wall_cells is not None:
+        dist, wtype, side = cast_rays_cells(wall_cells, px, py, ang)
+    else:
+        dist, wtype, side = cast_rays(walls, px, py, ang)
 
     rows = jnp.arange(H, dtype=jnp.float32)[:, None]          # [H, 1]
     line_h = jnp.minimum(H / dist, 4.0 * H)                   # [W]
