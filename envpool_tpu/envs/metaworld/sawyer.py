@@ -17,17 +17,17 @@ Exact-surface parts (mirroring the reference):
 
 Interaction dynamics per task category (tasks.py) are a documented
 surrogate (quasi-static push / grasp attach / 1-dof articulation driven
-by tcp engagement).  Rewards: the reach, push, and pick categories use
-the EXACT published metaworld v2/v3 compute_reward formulas (long-tail
-tolerances, the full _gripper_caging_reward structure with y-caging /
-xz-alignment / effort gating / density blends, touch bonuses, and the
-snap-to-10 target radius), evaluated on the surrogate's state with a
-documented pad model; ten articulated tasks (button/coffee presses,
-drawer open/close, faucet open/close, window open/close, handle-press)
-use their published per-task laws too (_articulated_reward); the
-remaining press/turn/slide tasks keep the reference's reach ⊗ in-place
-hamacher structure scaled to [0, 10].  Crosschecked against
-independent scalar implementations in tests/test_metaworld.py.
+by tcp engagement).  Rewards: 46 of the 50 tasks evaluate their EXACT
+published metaworld v2/v3 compute_reward law (long-tail/gaussian
+tolerances, the full caging structures with y-caging / xz-alignment /
+effort gating / density blends, log-barrier floors, touch bonuses, and
+the snap-to-10 target radii) on the surrogate's state with a documented
+pad model — the reach/push/pick category laws here, ten articulated
+laws in _articulated_reward, and the per-task cases in exact_laws.py.
+The four tasks needing a second simulated body (hammer, stick-push,
+stick-pull, peg-insert-side) keep the documented generic reach ⊗
+in-place surrogate law.  Crosschecked against independent scalar
+implementations in tests/test_metaworld.py.
 """
 
 from __future__ import annotations
@@ -38,7 +38,8 @@ import numpy as np
 
 from ...core.env import EnvOut, TpuEnv
 from ...core.specs import ArraySpec
-from .tasks import TASKS
+from . import exact_laws
+from .tasks import GOAL_DELTA, TASKS
 
 _STEP = 0.01
 _HAND_LOW = np.asarray([-0.525, 0.348, -0.0525], np.float32)
@@ -326,6 +327,19 @@ class SawyerEnv(TpuEnv):
         self.axis = (
             np.asarray(axis, np.float32) if axis is not None else None
         )
+        # Reference reset-law goal geometry overrides the generic
+        # category axis/magnitude where known (tasks.GOAL_DELTA).
+        delta = GOAL_DELTA.get(name)
+        if delta is not None:
+            delta = np.asarray(delta, np.float32)
+            self.travel = float(np.linalg.norm(delta))
+            self.axis = delta / self.travel
+        else:
+            self.travel = None
+        self.rest_quat = np.asarray(
+            exact_laws.REST_QUAT.get(name, (1.0, 0.0, 0.0, 0.0)),
+            np.float32,
+        )
         self.partially_observable = bool(config["partially_observable"])
 
     # -- specs -------------------------------------------------------------
@@ -350,11 +364,14 @@ class SawyerEnv(TpuEnv):
 
     def _articulated_target(self, obj0):
         """Target position for press/turn/slide: displaced along axis."""
-        mag = {
-            "press": 0.05,
-            "slide": 0.12,
-            "turn": 0.15,
-        }[self.category]
+        if self.travel is not None:
+            mag = self.travel
+        else:
+            mag = {
+                "press": 0.05,
+                "slide": 0.12,
+                "turn": 0.15,
+            }[self.category]
         return obj0 + jnp.asarray(self.axis) * mag
 
     def _curr_frame(self, st):
@@ -412,7 +429,7 @@ class SawyerEnv(TpuEnv):
             "tcp": jnp.asarray(_HAND_INIT),
             "grip": jnp.float32(1.0),  # open fraction
             "obj_pos": obj,
-            "obj_quat": jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+            "obj_quat": jnp.asarray(self.rest_quat),
             "obj0": obj,
             "goal": goal,
             "grasped": jnp.bool_(False),
@@ -476,6 +493,21 @@ class SawyerEnv(TpuEnv):
 
         # Reward: reach/caging ⊗ in-place (reference structure).
         tcp_to_obj = jnp.linalg.norm(tcp - obj)
+        if self.category in ("press", "turn", "slide"):
+            ax = jnp.asarray(self.axis)
+            max_disp = jnp.linalg.norm(
+                self._articulated_target(obj0) - obj0
+            )
+            disp_frac = jnp.clip(
+                ((obj - obj0) @ ax) / jnp.maximum(max_disp, 1e-8), 0.0, 1.0
+            )
+        else:
+            disp_frac = jnp.float32(0.0)
+        law_ctx = {
+            "tcp": tcp, "grip": grip, "a": a, "obj": obj, "obj0": obj0,
+            "goal": state["goal"], "prev_tcp": state["tcp"],
+            "quat": state["obj_quat"], "disp_frac": disp_frac,
+        }
         if self.category == "reach":
             # Exact metaworld SawyerReachEnvV2.compute_reward: reward =
             # 10 · tolerance(|tcp − target|, bounds=(0, 0.05),
@@ -488,6 +520,22 @@ class SawyerEnv(TpuEnv):
             )
             unscaled = in_place
             grasp_reward = jnp.float32(0.0)
+        elif self.task_name in exact_laws.LAWS:
+            # Published per-task compute_reward law (exact_laws.py),
+            # case-by-case from metaworld_env.h:1635-2688, evaluated on
+            # the surrogate state.  Already on the 0-10 scale.
+            unscaled, grasp_reward, in_place, target_d = (
+                exact_laws.LAWS[self.task_name](law_ctx)
+            )
+        elif self.task_name == "handle-press-side-v3":
+            # Same published law as handle-press (metaworld_env.h case
+            # 23/24 share one body; target_radius 0.02 for both).
+            unscaled, grasp_reward, in_place, target_d = (
+                _articulated_reward(
+                    "handle-press-v3", tcp, grip, a, obj, obj0,
+                    state["goal"], state["tcp"],
+                )
+            )
         elif self.category == "push":
             # Exact metaworld SawyerPushEnvV2.compute_reward: in-place
             # tolerance on |obj − target| (bound 0.05, margin = initial
@@ -554,9 +602,12 @@ class SawyerEnv(TpuEnv):
         success = target_d < self.thr
         if self.category == "reach":
             reward = unscaled * 10.0  # metaworld reach has no override
-        elif self.category in ("push", "pick"):
-            reward = unscaled  # already on the 0-10 scale
-        elif self.task_name in _EXACT_ARTICULATED:
+        elif (
+            self.task_name in exact_laws.LAWS
+            or self.task_name in _EXACT_ARTICULATED
+            or self.task_name == "handle-press-side-v3"
+            or self.category in ("push", "pick")
+        ):
             reward = unscaled  # per-task law is already on the 0-10 scale
         else:
             reward = jnp.where(success, 10.0, unscaled * 10.0)

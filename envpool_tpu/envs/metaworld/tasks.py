@@ -128,3 +128,25 @@ _T = {
 assert len(_T) == 50, len(_T)
 
 TASKS = _T
+
+# Reference reset-law goal offsets (target − articulated-handle start)
+# for 1-dof tasks, from metaworld_env.h's per-task Reset cases; the
+# surrogate articulation axis/travel derive from these so the goal
+# geometry matches the reference instead of the generic category
+# magnitudes.  (faucet: ±0.175 x / +0.125 z, case 20/21; doors: cases
+# 13-16; windows ±0.2 x, cases 48/49; drawers cases 18/19; dial case
+# 11; lever case 27.)
+GOAL_DELTA = {
+    "door-open-v3": (-0.3, -0.45, 0.0),
+    "door-close-v3": (0.2, -0.2, 0.0),
+    "door-lock-v3": (0.0, -0.04, -0.1),
+    "door-unlock-v3": (0.1, -0.04, 0.0),
+    "dial-turn-v3": (0.0, 0.03, 0.03),
+    "lever-pull-v3": (0.0, 0.2, 0.2),
+    "window-open-v3": (0.2, 0.0, 0.0),
+    "window-close-v3": (-0.2, 0.0, 0.0),
+    "drawer-open-v3": (0.0, -0.2, 0.0),
+    "drawer-close-v3": (0.0, 0.15, 0.0),
+    "faucet-open-v3": (0.175, 0.0, 0.125),
+    "faucet-close-v3": (-0.175, 0.0, 0.125),
+}

@@ -407,3 +407,285 @@ def test_window_open_reward_matches_published_formula():
         return 10.0 * _scalar_hamacher(reach, in_place)
 
     _rollout_vs_scalar("MetaWorld/WindowOpen-v3", scalar, 19)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 per-task laws (exact_laws.py) vs independent scalar oracles.
+# Each scalar below is written from the published metaworld v2/v3
+# compute_reward (behavioral reference: the per-task ComputeReward cases
+# in envpool's metaworld_env.h), NOT from the jnp implementation.
+# ---------------------------------------------------------------------------
+
+
+def _scalar_longtail(x, lower, upper, margin):
+    if lower <= x <= upper:
+        return 1.0
+    if margin <= 0.0:
+        return 0.0
+    d = (lower - x) if x < lower else (x - upper)
+    s = 3.0 * d / margin
+    return 1.0 / (s * s + 1.0)
+
+
+def _scalar_pads(tcp, grip):
+    half = 0.01 + 0.04 * grip
+    left = tcp.copy(); left[1] += half
+    right = tcp.copy(); right[1] -= half
+    return left, right
+
+
+def test_plate_slide_reward_matches_published_formula():
+    """SawyerPlateSlideEnvV2: 8·hamacher(grasped, in_place), margins NOT
+    shrunk by 0.05 (the back/side variants shrink them)."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        t2o = float(np.linalg.norm(obj - goal))
+        in_margin = float(np.linalg.norm(obj0 - goal))
+        grasp_margin = float(np.linalg.norm(hand_init - obj0))
+        in_place = _scalar_longtail(t2o, 0.0, 0.05, in_margin)
+        tcp_to_obj = float(np.linalg.norm(tcp - obj))
+        grasped = _scalar_longtail(tcp_to_obj, 0.0, 0.05, grasp_margin)
+        r = 8.0 * _scalar_hamacher(grasped, in_place)
+        return 10.0 if t2o < 0.05 else r
+
+    _rollout_vs_scalar("MetaWorld/PlateSlide-v3", scalar, 23)
+
+
+def test_plate_slide_back_reward_matches_published_formula():
+    """Back/side plate-slide variants: 1.5·grasped far, 2 + 7·in_place
+    once the tcp is low and close; margins shrunk by 0.05."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        t2o = float(np.linalg.norm(obj - goal))
+        in_margin = float(np.linalg.norm(obj0 - goal)) - 0.05
+        grasp_margin = float(np.linalg.norm(hand_init - obj0)) - 0.05
+        in_place = _scalar_longtail(t2o, 0.0, 0.05, in_margin)
+        tcp_to_obj = float(np.linalg.norm(tcp - obj))
+        grasped = _scalar_longtail(tcp_to_obj, 0.0, 0.05, grasp_margin)
+        if tcp[2] <= 0.03 and tcp_to_obj < 0.07:
+            r = 2.0 + 7.0 * in_place
+        else:
+            r = 1.5 * grasped
+        return 10.0 if t2o < 0.05 else r
+
+    _rollout_vs_scalar("MetaWorld/PlateSlideBack-v3", scalar, 29)
+
+
+def _scalar_sweep_caging(tcp, grip, obj, obj0, obj_radius, extra, xz_th):
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+    init_left_y, init_right_y = 0.65, 0.55
+    pad_margin = 0.05
+    grip_margin = obj_radius + extra
+    left, right = _scalar_pads(tcp, grip)
+    ld = left[1] - obj[1]
+    rd = obj[1] - right[1]
+    rm = abs(abs(obj[1] - init_right_y) - pad_margin)
+    lm = abs(abs(obj[1] - init_left_y) - pad_margin)
+    rc = _scalar_longtail(rd, obj_radius, pad_margin, rm)
+    lc = _scalar_longtail(ld, obj_radius, pad_margin, lm)
+    rg = _scalar_longtail(rd, obj_radius, grip_margin, rm)
+    lg = _scalar_longtail(ld, obj_radius, grip_margin, lm)
+    y_caging = _scalar_hamacher(rc, lc)
+    y_gripping = _scalar_hamacher(rg, lg)
+    xz = [0, 2]
+    xz_margin = float(np.linalg.norm(obj0[xz] - hand_init[xz])) - xz_th
+    xz_caging = _scalar_longtail(
+        float(np.linalg.norm(tcp[xz] - obj[xz])), 0.0, xz_th, xz_margin
+    )
+    caging = _scalar_hamacher(y_caging, xz_caging)
+    gripping = y_gripping if caging > 0.95 else 0.0
+    return (caging + gripping) / 2.0
+
+
+def test_sweep_reward_matches_published_formula():
+    """SawyerSweepEnvV2: 2·sweep_caging + 6·hamacher(caging, in_place),
+    the sweep-style caging margins from the CURRENT object y."""
+    import numpy as np
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        t2o = float(np.linalg.norm(obj - goal))
+        in_place = _scalar_longtail(
+            t2o, 0.0, 0.05, float(np.linalg.norm(obj0 - goal))
+        )
+        grasped = _scalar_sweep_caging(tcp, grip, obj, obj0, 0.02, 0.01,
+                                       0.005)
+        r = 2.0 * grasped + 6.0 * _scalar_hamacher(grasped, in_place)
+        return 10.0 if t2o < 0.05 else r
+
+    _rollout_vs_scalar("MetaWorld/Sweep-v3", scalar, 31)
+
+
+def test_door_close_reward_matches_published_formula():
+    """SawyerDoorCloseEnvV2: 3·hand_in_place + 6·in_place, both gaussian
+    sigmoids, snapped to 10 inside 0.05."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        t2o = float(np.linalg.norm(obj - goal))
+        in_place = _scalar_tol_gauss(
+            t2o, 0.05, float(np.linalg.norm(obj0 - goal))
+        )
+        tcp_to_target = float(np.linalg.norm(tcp - goal))
+        hand_margin = float(np.linalg.norm(hand_init - obj)) + 0.1
+        hand_in_place = _scalar_tol_gauss(
+            tcp_to_target, 0.25 * 0.05, hand_margin
+        )
+        r = 3.0 * hand_in_place + 6.0 * in_place
+        return 10.0 if t2o < 0.05 else r
+
+    _rollout_vs_scalar("MetaWorld/DoorClose-v3", scalar, 37)
+
+
+def test_door_lock_reward_matches_published_formula():
+    """SawyerDoorLockEnvV2: 2·hamacher(tcp_open, near) + 8·pressed with
+    the (0.25, 1, 0.5)-scaled left-pad distance."""
+    import numpy as np
+
+    init_left_pad = np.asarray([0.0, 0.65, 0.2])
+    scale = np.asarray([0.25, 1.0, 0.5])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        left, _ = _scalar_pads(tcp, grip)
+        t2o = float(np.linalg.norm((obj - left) * scale))
+        t2o0 = float(np.linalg.norm((obj - init_left_pad) * scale))
+        near = _scalar_longtail(t2o, 0.0, 0.01, t2o0)
+        pressed = _scalar_longtail(abs(goal[2] - obj[2]), 0.0, 0.005, 0.1)
+        return 2.0 * _scalar_hamacher(max(grip, 0.0), near) + 8.0 * pressed
+
+    _rollout_vs_scalar("MetaWorld/DoorLock-v3", scalar, 41)
+
+
+def test_coffee_push_reward_matches_published_formula():
+    """SawyerCoffeePushEnvV2: medium-density caging (effort cap 0.7) on
+    a (2, 2, 1)-scaled in-place distance, +1 + 5·in_place on touch."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+    s = np.asarray([2.0, 2.0, 1.0])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        scaled = float(np.linalg.norm((obj - goal) * s))
+        scaled0 = float(np.linalg.norm((obj0 - goal) * s))
+        in_place = _scalar_longtail(scaled, 0.0, 0.05, scaled0)
+        # GripperCagingReward(.., 0.02, 0.05, 0.04, 0.05, 0.7, med)
+        left, right = _scalar_pads(tcp, grip)
+        lm = abs(abs(left[1] - obj0[1]) - 0.05)
+        rm = abs(abs(right[1] - obj0[1]) - 0.05)
+        lc = _scalar_longtail(abs(left[1] - obj[1]), 0.02, 0.05, lm)
+        rc = _scalar_longtail(abs(right[1] - obj[1]), 0.02, 0.05, rm)
+        y_caging = _scalar_hamacher(lc, rc)
+        xz = [0, 2]
+        xz_margin = float(np.linalg.norm(obj0[xz] - hand_init[xz])) - 0.05
+        xz_caging = _scalar_longtail(
+            float(np.linalg.norm(tcp[xz] - obj[xz])), 0.0, 0.05, xz_margin
+        )
+        caging = _scalar_hamacher(y_caging, xz_caging)
+        closed = min(max(a_grip, 0.0), 0.7) / 0.7
+        gripping = closed if caging > 0.97 else 0.0
+        cg = _scalar_hamacher(caging, gripping)
+        t2o = float(np.linalg.norm(obj - tcp))
+        t2o0 = float(np.linalg.norm(obj0 - hand_init))
+        reach = _scalar_longtail(t2o, 0.0, 0.04, abs(t2o0 - 0.04))
+        grasped = (cg + reach) / 2.0
+        r = _scalar_hamacher(grasped, in_place)
+        if t2o < 0.04 and grip > 0.0:
+            r += 1.0 + 5.0 * in_place
+        return 10.0 if scaled < 0.05 else r
+
+    _rollout_vs_scalar("MetaWorld/CoffeePush-v3", scalar, 43)
+
+
+def test_bin_picking_reward_matches_published_formula():
+    """SawyerBinPickingEnvV2: log-barrier floor above both bins, caging
+    with effort cap 0.7, grasp bonus gated on lift."""
+    import math
+
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+
+    def floor_for(radius):
+        return 0.0 if radius <= 0.03 else 0.02 * math.log(radius - 0.03) + 0.2
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        t2o = float(np.linalg.norm(obj - goal))
+        in_place = _scalar_longtail(
+            t2o, 0.0, 0.05, float(np.linalg.norm(obj0 - goal))
+        )
+        r0 = float(np.linalg.norm(tcp[:2] - obj0[:2]))
+        r1 = float(np.linalg.norm(tcp[:2] - goal[:2]))
+        floor = min(floor_for(r0), floor_for(r1))
+        if tcp[2] >= floor:
+            above = 1.0
+        else:
+            above = _scalar_longtail(max(floor - tcp[2], 0.0), 0.0, 0.01,
+                                     0.05)
+        # GripperCagingReward(.., 0.015, 0.05, 0.01, 0.01, 0.7, high)
+        left, right = _scalar_pads(tcp, grip)
+        lm = abs(abs(left[1] - obj0[1]) - 0.05)
+        rm = abs(abs(right[1] - obj0[1]) - 0.05)
+        lc = _scalar_longtail(abs(left[1] - obj[1]), 0.015, 0.05, lm)
+        rc = _scalar_longtail(abs(right[1] - obj[1]), 0.015, 0.05, rm)
+        y_caging = _scalar_hamacher(lc, rc)
+        xz = [0, 2]
+        xz_margin = float(np.linalg.norm(obj0[xz] - hand_init[xz])) - 0.01
+        xz_caging = _scalar_longtail(
+            float(np.linalg.norm(tcp[xz] - obj[xz])), 0.0, 0.01, xz_margin
+        )
+        caging = _scalar_hamacher(y_caging, xz_caging)
+        closed = min(max(a_grip, 0.0), 0.7) / 0.7
+        gripping = closed if caging > 0.97 else 0.0
+        grasped = (_scalar_hamacher(caging, gripping) + caging) / 2.0
+        r = _scalar_hamacher(grasped, in_place)
+        near = float(np.linalg.norm(obj - tcp)) < 0.04
+        lifted = obj[2] - 0.02 > obj0[2]
+        if near and lifted and not (grip < 0.43):
+            r += 1.0 + 5.0 * _scalar_hamacher(above, in_place)
+        return 10.0 if t2o < 0.05 else r
+
+    _rollout_vs_scalar("MetaWorld/BinPicking-v3", scalar, 47)
+
+
+def test_handle_pull_reward_matches_published_formula():
+    """SawyerHandlePullEnvV2: caging(0.022, 0.05) ⊗ z-axis in-place,
+    +1 + 5·in_place once grasped-and-lifted, snap at 0.05."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal):
+        t2o = abs(goal[2] - obj[2])
+        t2o0 = abs(goal[2] - obj0[2])
+        in_place = _scalar_longtail(t2o, 0.0, 0.05, t2o0)
+        left, right = _scalar_pads(tcp, grip)
+        lm = abs(abs(left[1] - obj0[1]) - 0.05)
+        rm = abs(abs(right[1] - obj0[1]) - 0.05)
+        lc = _scalar_longtail(abs(left[1] - obj[1]), 0.022, 0.05, lm)
+        rc = _scalar_longtail(abs(right[1] - obj[1]), 0.022, 0.05, rm)
+        y_caging = _scalar_hamacher(lc, rc)
+        xz = [0, 2]
+        xz_margin = float(np.linalg.norm(obj0[xz] - hand_init[xz])) - 0.01
+        xz_caging = _scalar_longtail(
+            float(np.linalg.norm(tcp[xz] - obj[xz])), 0.0, 0.01, xz_margin
+        )
+        caging = _scalar_hamacher(y_caging, xz_caging)
+        closed = min(max(a_grip, 0.0), 1.0)
+        gripping = closed if caging > 0.97 else 0.0
+        grasped = (_scalar_hamacher(caging, gripping) + caging) / 2.0
+        r = _scalar_hamacher(grasped, in_place)
+        tcp_to_obj = float(np.linalg.norm(obj - tcp))
+        if tcp_to_obj < 0.035 and grip > 0.0 and obj[2] - 0.01 > obj0[2]:
+            r += 1.0 + 5.0 * in_place
+        return 10.0 if t2o < 0.05 else r
+
+    _rollout_vs_scalar("MetaWorld/HandlePull-v3", scalar, 53)
