@@ -16,10 +16,11 @@ evaluated on the Sawyer surrogate's state (sawyer.py):
   for the MuJoCo joint readout the reference uses).
 
 Together with the category laws in sawyer.py (reach/push/pick-place and
-the ten earlier articulated tasks) this gives 46 of the 50 tasks their
-published reward law; hammer / stick-push / stick-pull / peg-insert-side
-need a second simulated body (nail, container, collision boxes) and keep
-the documented generic surrogate law.
+the ten earlier articulated tasks) this gives 49 of the 50 tasks their
+published reward law — hammer and the stick tasks run their laws over
+the two-body surrogate (nail / container as ``obj2``).  Only
+peg-insert-side keeps the generic law: its RectPrismTolerance needs
+collision-box corner sites from an XML the reference does not ship.
 """
 
 from __future__ import annotations
@@ -732,6 +733,117 @@ def _law_sweep(c, into=False):  # cases 46/47
     return reward, grasped, in_place, obj_to_target
 
 
+def _law_hammer(c):  # case 22
+    hand = c["tcp"]
+    hammer = c["obj"]
+    hammer_head = hammer + jnp.asarray([0.16, 0.06, 0.0])
+    threshed = hammer.at[0].set(
+        jnp.where(jnp.abs(hammer[0] - hand[0]) < 0.07, hand[0], hammer[0])
+    )
+    q = c["quat"]
+    quat_err = _norm(jnp.asarray([q[0] - 1.0, q[1], q[2], q[3]]))
+    reward_quat = jnp.maximum(1.0 - quat_err / 0.4, 0.0)
+    reward_grab = _caging(
+        c, threshed, 0.015, 0.02, 0.01, 0.01, 1.0, True, False
+    )
+    in_place = (
+        0.1 * (hammer_head[2] > 0.02).astype(jnp.float32)
+        + 0.9 * _longtail(_norm(hammer_head - c["goal"]), 0.0, 0.02, 0.2)
+    )
+    reward = (2.0 * reward_grab + 6.0 * in_place) * reward_quat
+    # Surrogate nail joint: displacement of the second body from spawn.
+    success = _norm(c["obj2"] - c["obj2_0"]) > 0.09
+    reward = jnp.where(success & (reward > 5.0), 10.0, reward)
+    return reward, reward_grab, in_place, jnp.float32(0.0)
+
+
+def _law_stick_push(c):  # case 38
+    stick = c["obj"] + jnp.asarray([0.015, 0.0, 0.0])
+    container = c["obj2"]
+    tcp_to_stick = _norm(stick - c["tcp"])
+    stick_to_target = _norm(stick - c["goal"])
+    stick_in_place = _longtail(
+        stick_to_target, 0.0, 0.12,
+        _norm(c["obj0"] - c["goal"]) - 0.12,
+    )
+    container_to_target = _norm(container - c["goal"])
+    container_in_place = _longtail(
+        container_to_target, 0.0, 0.12,
+        _norm(c["obj2_0"] - c["goal"]) - 0.12,
+    )
+    # StickCagingReward(.., 0.04, 0.05, 0.01, 0.01, high, use_stick_init)
+    grasped = _caging(
+        c, stick, 0.04, 0.05, 0.01, 0.01, 1.0, True, False,
+        init_obj=c["obj0"],
+    )
+    grasp_success = (
+        (tcp_to_stick < 0.02) & (c["grip"] > 0.0)
+        & (stick[2] - 0.01 > c["obj0"][2])
+    )
+    grasped = jnp.where(grasp_success, 1.0, grasped)
+    reward = jnp.where(
+        grasp_success,
+        jnp.where(
+            container_to_target <= 0.12, 10.0,
+            2.0 + 5.0 * stick_in_place + 3.0 * container_in_place,
+        ),
+        grasped,
+    )
+    return reward, grasped, stick_in_place, container_to_target
+
+
+def _law_stick_pull(c):  # case 39
+    stick = c["obj"]
+    handle = c["obj2"]
+    end_of_stick = stick + jnp.asarray([0.12, 0.0, 0.0])
+    container = handle + jnp.asarray([0.05, 0.0, 0.0])
+    container_init = c["obj2_0"] + jnp.asarray([0.05, 0.0, 0.0])
+    tcp_to_stick = _norm(stick - c["tcp"])
+    handle_to_target = _norm(handle - c["goal"])
+    stick_to_container = _dscaled(stick, container, (1.0, 1.0, 2.0))
+    stick_in_place = _longtail(
+        stick_to_container, 0.0, 0.05,
+        _dscaled(c["obj0"], container_init, (1.0, 1.0, 2.0)),
+    )
+    stick_to_target = _norm(stick - c["goal"])
+    stick_in_place2 = _longtail(
+        stick_to_target, 0.0, 0.05, _norm(c["obj0"] - c["goal"])
+    )
+    container_to_target = _norm(container - c["goal"])
+    container_in_place = _longtail(
+        container_to_target, 0.0, 0.05, _norm(c["obj2_0"] - c["goal"])
+    )
+    grasped = _caging(
+        c, stick, 0.014, 0.05, 0.01, 0.01, 1.0, True, False,
+        init_obj=c["obj2_0"],
+    )
+    grasp_success = (
+        (tcp_to_stick < 0.02) & (c["grip"] > 0.0)
+        & (stick[2] - 0.01 > c["obj0"][2])
+    )
+    grasped = jnp.where(grasp_success, 1.0, grasped)
+    grasped_place = _hamacher(grasped, stick_in_place)
+    inserted = (
+        (end_of_stick[0] >= handle[0])
+        & (jnp.abs(end_of_stick[1] - handle[1]) <= 0.040)
+        & (jnp.abs(end_of_stick[2] - handle[2]) <= 0.060)
+    )
+    reward = jnp.where(
+        grasp_success,
+        jnp.where(
+            inserted,
+            jnp.where(
+                handle_to_target <= 0.12, 10.0,
+                1.0 + grasped_place + 5.0 + 2.0 * stick_in_place2
+                + container_in_place,
+            ),
+            1.0 + grasped_place + 5.0 * stick_in_place,
+        ),
+        grasped_place,
+    )
+    return reward, grasped, stick_in_place, handle_to_target
+
+
 # name -> law(ctx).  Covers every task whose published law is computable
 # from the surrogate's single-object state (see module docstring).
 LAWS = {
@@ -766,6 +878,19 @@ LAWS = {
     "shelf-place-v3": _law_shelf_place,
     "sweep-into-v3": lambda c: _law_sweep(c, True),
     "sweep-v3": lambda c: _law_sweep(c, False),
+    "hammer-v3": _law_hammer,
+    "stick-push-v3": _law_stick_push,
+    "stick-pull-v3": _law_stick_pull,
+}
+
+# Tasks whose obs second slot carries a second body (nail / container),
+# with its surrogate spawn point (metaworld_env.h cases 22/38/39 reset;
+# the container spawn is a documented surrogate constant — the XML body
+# defaults are not shipped in the reference tree).
+TWO_BODY = {
+    "hammer-v3": None,  # nail spawns at the sampled goal
+    "stick-push-v3": (0.2, 0.6, 0.02),
+    "stick-pull-v3": (0.2, 0.6, 0.02),
 }
 
 # Rest quaternion per task for the obs/quat-error terms: assembly /
@@ -775,4 +900,8 @@ REST_QUAT = {
     "assembly-v3": (0.7071068, 0.0, 0.0, 0.7071068),
     "disassemble-v3": (0.7071068, 0.0, 0.0, 0.7071068),
     "box-close-v3": (0.7071068, 0.0, 0.0, 0.7071068),
+    # Stick obs quats are XYZW (BodyQuatXYZW, metaworld_env.h:639-646);
+    # identity in that order is (0, 0, 0, 1).
+    "stick-push-v3": (0.0, 0.0, 0.0, 1.0),
+    "stick-pull-v3": (0.0, 0.0, 0.0, 1.0),
 }

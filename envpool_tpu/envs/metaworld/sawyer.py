@@ -17,17 +17,18 @@ Exact-surface parts (mirroring the reference):
 
 Interaction dynamics per task category (tasks.py) are a documented
 surrogate (quasi-static push / grasp attach / 1-dof articulation driven
-by tcp engagement).  Rewards: 46 of the 50 tasks evaluate their EXACT
-published metaworld v2/v3 compute_reward law (long-tail/gaussian
-tolerances, the full caging structures with y-caging / xz-alignment /
-effort gating / density blends, log-barrier floors, touch bonuses, and
-the snap-to-10 target radii) on the surrogate's state with a documented
-pad model — the reach/push/pick category laws here, ten articulated
-laws in _articulated_reward, and the per-task cases in exact_laws.py.
-The four tasks needing a second simulated body (hammer, stick-push,
-stick-pull, peg-insert-side) keep the documented generic reach ⊗
-in-place surrogate law.  Crosschecked against independent scalar
-implementations in tests/test_metaworld.py.
+by tcp engagement; hammer/stick tasks carry a second body — nail or
+container — with documented engagement dynamics).  Rewards: 49 of the
+50 tasks evaluate their EXACT published metaworld v2/v3 compute_reward
+law (long-tail/gaussian tolerances, the full caging structures with
+y-caging / xz-alignment / effort gating / density blends, log-barrier
+floors, touch bonuses, and the snap-to-10 target radii) on the
+surrogate's state with a documented pad model — the reach/push/pick
+category laws here, ten articulated laws in _articulated_reward, and
+the per-task cases in exact_laws.py.  Only peg-insert-side keeps the
+generic law (its RectPrism collision boxes come from XML sites not
+shipped in the reference tree).  Crosschecked against independent
+scalar implementations in tests/test_metaworld.py.
 """
 
 from __future__ import annotations
@@ -375,13 +376,21 @@ class SawyerEnv(TpuEnv):
         return obj0 + jnp.asarray(self.axis) * mag
 
     def _curr_frame(self, st):
+        if self.task_name in exact_laws.TWO_BODY:
+            # hammer: nail pos+quat; stick tasks: container/handle pos
+            # with a zero quat (ObjectObsPadded cases 22/38/39).
+            second = jnp.concatenate(
+                [st["obj2_pos"], jnp.zeros(4, jnp.float32)]
+            )
+        else:
+            second = jnp.zeros(7, jnp.float32)
         return jnp.concatenate(
             [
                 st["tcp"],
                 st["grip"][None],
                 st["obj_pos"],
                 st["obj_quat"],
-                jnp.zeros(7, jnp.float32),  # second object slot unused
+                second,
             ]
         )
 
@@ -425,12 +434,22 @@ class SawyerEnv(TpuEnv):
                 kg, (3,), jnp.float32, jnp.asarray(self.goal_lo),
                 jnp.asarray(self.goal_hi),
             )
+        if self.task_name in exact_laws.TWO_BODY:
+            spawn = exact_laws.TWO_BODY[self.task_name]
+            obj2 = (
+                goal if spawn is None
+                else jnp.asarray(spawn, jnp.float32)
+            )
+        else:
+            obj2 = jnp.zeros(3, jnp.float32)
         st = {
             "tcp": jnp.asarray(_HAND_INIT),
             "grip": jnp.float32(1.0),  # open fraction
             "obj_pos": obj,
             "obj_quat": jnp.asarray(self.rest_quat),
             "obj0": obj,
+            "obj2_pos": obj2,
+            "obj2_0": obj2,
             "goal": goal,
             "grasped": jnp.bool_(False),
             "prev": jnp.zeros(18, jnp.float32),
@@ -491,6 +510,36 @@ class SawyerEnv(TpuEnv):
             disp = jnp.clip(disp + drive, 0.0, max_disp)
             obj = obj0 + ax * disp
 
+        # Second-body surrogate dynamics (hammer nail / stick container).
+        obj2 = state["obj2_pos"]
+        if self.task_name == "hammer-v3":
+            head_off = jnp.asarray([0.16, 0.06, 0.0])
+            head = obj + head_off
+            prev_head = state["obj_pos"] + head_off
+            near_nail = jnp.linalg.norm(head - obj2) < 0.05
+            drive = jnp.maximum(
+                (head - prev_head) @ jnp.asarray([0.0, 1.0, 0.0]), 0.0
+            )
+            disp = (obj2 - state["obj2_0"])[1]
+            disp = jnp.minimum(
+                disp + jnp.where(near_nail, drive, 0.0), 0.12
+            )
+            obj2 = state["obj2_0"] + jnp.asarray([0.0, 1.0, 0.0]) * disp
+        elif self.task_name == "stick-push-v3":
+            engaged = jnp.linalg.norm(obj - obj2) < 0.07
+            delta = (obj - state["obj_pos"]).at[2].set(0.0)
+            obj2 = jnp.where(engaged, obj2 + delta, obj2)
+        elif self.task_name == "stick-pull-v3":
+            end = obj + jnp.asarray([0.12, 0.0, 0.0])
+            inserted = (
+                (end[0] >= obj2[0])
+                & (jnp.abs(end[1] - obj2[1]) <= 0.040)
+                & (jnp.abs(end[2] - obj2[2]) <= 0.060)
+            )
+            obj2 = jnp.where(
+                inserted, obj2 + (obj - state["obj_pos"]), obj2
+            )
+
         # Reward: reach/caging ⊗ in-place (reference structure).
         tcp_to_obj = jnp.linalg.norm(tcp - obj)
         if self.category in ("press", "turn", "slide"):
@@ -507,6 +556,7 @@ class SawyerEnv(TpuEnv):
             "tcp": tcp, "grip": grip, "a": a, "obj": obj, "obj0": obj0,
             "goal": state["goal"], "prev_tcp": state["tcp"],
             "quat": state["obj_quat"], "disp_frac": disp_frac,
+            "obj2": obj2, "obj2_0": state["obj2_0"],
         }
         if self.category == "reach":
             # Exact metaworld SawyerReachEnvV2.compute_reward: reward =
@@ -618,6 +668,8 @@ class SawyerEnv(TpuEnv):
             "obj_pos": obj,
             "obj_quat": state["obj_quat"],
             "obj0": obj0,
+            "obj2_pos": obj2,
+            "obj2_0": state["obj2_0"],
             "goal": state["goal"],
             "grasped": grasped,
             "prev": prev_curr,

@@ -63,7 +63,9 @@ _T = {
                                  0.07, None),
     "hand-insert-v3": ("push", (-0.1, 0.6, 0.05), (0.1, 0.7, 0.05),
                        (-0.04, 0.8, -0.08), (0.04, 0.88, -0.06), 0.05, None),
-    "stick-push-v3": ("push", (-0.1, 0.58, 0.02), (0.1, 0.62, 0.02),
+    # stick-push: the STICK is grasped and carried (pick dynamics); the
+    # pushed container is the second body (sawyer.py two-body surrogate).
+    "stick-push-v3": ("pick", (-0.1, 0.58, 0.02), (0.1, 0.62, 0.02),
                       (0.35, 0.6, 0.01), (0.45, 0.7, 0.02), 0.08, None),
     "stick-pull-v3": ("pick", (-0.1, 0.58, 0.02), (0.1, 0.62, 0.02),
                       (0.3, 0.5, 0.01), (0.4, 0.6, 0.02), 0.08, None),

@@ -689,3 +689,154 @@ def test_handle_pull_reward_matches_published_formula():
         return 10.0 if t2o < 0.05 else r
 
     _rollout_vs_scalar("MetaWorld/HandlePull-v3", scalar, 53)
+
+
+def _rollout_vs_scalar2(task, scalar_reward, seed):
+    """Like _rollout_vs_scalar but also hands the oracle the second
+    body (nail/container) and the obs quaternion."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from envpool_tpu.core.registry import registry
+
+    env = registry._env(task, num_envs=1)
+    st, obs = env.reset_env(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    for t in range(30):
+        a = rng.uniform(-1, 1, 4).astype(np.float32)
+        if t % 2:
+            direction = np.asarray(st["obj_pos"]) - np.asarray(st["tcp"])
+            a[:3] = np.clip(direction * 60.0, -1, 1)
+            a[3] = 0.8
+        out = env.step_env(st, jnp.asarray(a), jax.random.PRNGKey(t))
+        want = scalar_reward(
+            np.asarray(out.state["tcp"], np.float64),
+            float(out.state["grip"]),
+            float(a[3]),
+            np.asarray(out.state["obj_pos"], np.float64),
+            np.asarray(out.state["obj0"], np.float64),
+            np.asarray(out.state["goal"], np.float64),
+            np.asarray(out.state["obj2_pos"], np.float64),
+            np.asarray(out.state["obj2_0"], np.float64),
+            np.asarray(out.state["obj_quat"], np.float64),
+        )
+        np.testing.assert_allclose(
+            float(out.reward), want, rtol=1e-4, atol=1e-5,
+            err_msg=f"{task} step {t}",
+        )
+        st = out.state
+
+
+def test_hammer_reward_matches_published_formula():
+    """SawyerHammerEnvV3: (2·grab + 6·in_place)·quat with the hammer-head
+    offset, x-threshed caging, 10 only when the nail is driven AND
+    reward > 5."""
+    import numpy as np
+
+    hand_init = np.asarray([0.0, 0.6, 0.2])
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal, obj2, obj2_0, quat):
+        head = obj + np.asarray([0.16, 0.06, 0.0])
+        threshed = obj.copy()
+        if abs(obj[0] - tcp[0]) < 0.07:
+            threshed[0] = tcp[0]
+        quat_err = float(np.linalg.norm(quat - np.asarray([1, 0, 0, 0])))
+        rq = max(1.0 - quat_err / 0.4, 0.0)
+        # GripperCagingReward(.., 0.015, 0.02, 0.01, 0.01, 1.0, high)
+        left, right = _scalar_pads(tcp, grip)
+        lm = abs(abs(left[1] - obj0[1]) - 0.02)
+        rm = abs(abs(right[1] - obj0[1]) - 0.02)
+        lc = _scalar_longtail(abs(left[1] - threshed[1]), 0.015, 0.02, lm)
+        rc = _scalar_longtail(abs(right[1] - threshed[1]), 0.015, 0.02, rm)
+        y_caging = _scalar_hamacher(lc, rc)
+        xz = [0, 2]
+        xz_margin = float(np.linalg.norm(obj0[xz] - hand_init[xz])) - 0.01
+        xz_caging = _scalar_longtail(
+            float(np.linalg.norm(tcp[xz] - threshed[xz])), 0.0, 0.01,
+            xz_margin,
+        )
+        caging = _scalar_hamacher(y_caging, xz_caging)
+        closed = min(max(a_grip, 0.0), 1.0)
+        gripping = closed if caging > 0.97 else 0.0
+        grab = (_scalar_hamacher(caging, gripping) + caging) / 2.0
+        in_place = (
+            0.1 * float(head[2] > 0.02)
+            + 0.9 * _scalar_longtail(
+                float(np.linalg.norm(head - goal)), 0.0, 0.02, 0.2
+            )
+        )
+        r = (2.0 * grab + 6.0 * in_place) * rq
+        if np.linalg.norm(obj2 - obj2_0) > 0.09 and r > 5.0:
+            return 10.0
+        return r
+
+    _rollout_vs_scalar2("MetaWorld/Hammer-v3", scalar, 59)
+
+
+def test_stick_pull_reward_matches_published_formula():
+    """SawyerStickPullEnvV3: grasped⊗stick_in_place ladder with the
+    insertion gate on the stick end vs the container handle."""
+    import numpy as np
+
+    def scalar(tcp, grip, a_grip, obj, obj0, goal, obj2, obj2_0, quat):
+        stick = obj
+        handle = obj2
+        end = stick + np.asarray([0.12, 0.0, 0.0])
+        container = handle + np.asarray([0.05, 0.0, 0.0])
+        container_init = obj2_0 + np.asarray([0.05, 0.0, 0.0])
+        tcp_to_stick = float(np.linalg.norm(stick - tcp))
+        handle_to_target = float(np.linalg.norm(handle - goal))
+        s = np.asarray([1.0, 1.0, 2.0])
+        stick_to_container = float(np.linalg.norm((stick - container) * s))
+        stick_in_place = _scalar_longtail(
+            stick_to_container, 0.0, 0.05,
+            float(np.linalg.norm((obj0 - container_init) * s)),
+        )
+        stick_in_place2 = _scalar_longtail(
+            float(np.linalg.norm(stick - goal)), 0.0, 0.05,
+            float(np.linalg.norm(obj0 - goal)),
+        )
+        container_in_place = _scalar_longtail(
+            float(np.linalg.norm(container - goal)), 0.0, 0.05,
+            float(np.linalg.norm(obj2_0 - goal)),
+        )
+        # StickCaging(.., 0.014, 0.05, 0.01, 0.01, high), init = container
+        hand_init = np.asarray([0.0, 0.6, 0.2])
+        left, right = _scalar_pads(tcp, grip)
+        lm = abs(abs(left[1] - obj2_0[1]) - 0.05)
+        rm = abs(abs(right[1] - obj2_0[1]) - 0.05)
+        lc = _scalar_longtail(abs(left[1] - stick[1]), 0.014, 0.05, lm)
+        rc = _scalar_longtail(abs(right[1] - stick[1]), 0.014, 0.05, rm)
+        y_caging = _scalar_hamacher(lc, rc)
+        xz = [0, 2]
+        xz_margin = float(np.linalg.norm(obj2_0[xz] - hand_init[xz])) - 0.01
+        xz_caging = _scalar_longtail(
+            float(np.linalg.norm(tcp[xz] - stick[xz])), 0.0, 0.01, xz_margin
+        )
+        caging = _scalar_hamacher(y_caging, xz_caging)
+        closed = min(max(a_grip, 0.0), 1.0)
+        gripping = closed if caging > 0.97 else 0.0
+        grasped = (_scalar_hamacher(caging, gripping) + caging) / 2.0
+        grasp_success = (
+            tcp_to_stick < 0.02 and grip > 0.0
+            and stick[2] - 0.01 > obj0[2]
+        )
+        if grasp_success:
+            grasped = 1.0
+        gp = _scalar_hamacher(grasped, stick_in_place)
+        inserted = (
+            end[0] >= handle[0]
+            and abs(end[1] - handle[1]) <= 0.040
+            and abs(end[2] - handle[2]) <= 0.060
+        )
+        if not grasp_success:
+            return gp
+        if not inserted:
+            return 1.0 + gp + 5.0 * stick_in_place
+        if handle_to_target <= 0.12:
+            return 10.0
+        return (1.0 + gp + 5.0 + 2.0 * stick_in_place2
+                + container_in_place)
+
+    _rollout_vs_scalar2("MetaWorld/StickPull-v3", scalar, 61)
