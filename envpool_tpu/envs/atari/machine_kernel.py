@@ -92,6 +92,14 @@ def build_tables(rom_np: np.ndarray) -> dict:
     b0 = banks[:, j]
     b1 = banks[:, (j + 1) & 0xFFF]
     b2 = banks[:, (j + 2) & 0xFFF]
+    # Eight byte-sized fields per offset.  Round-5 ablations: every
+    # value must fit bfloat16's 8-bit mantissa — the MXU's DEFAULT
+    # precision is single-pass bf16 and silently zeroes the low bits of
+    # wider packed words (observed at B>1); Mosaic offers only the
+    # 6-pass HIGHEST above that (measured -25%).  And the field count
+    # must stay EIGHT: a [64, 4, B] select/reduce (half the fields)
+    # measured 10% SLOWER than [64, 8, B] — the middle axis of 8
+    # matches the vreg sublane count exactly.
     meta = np.stack([
         b0, b1, b2, mode[b0], op[b0], size[b0], cyc[b0],
         np.zeros_like(b0),
@@ -189,6 +197,14 @@ def _read(s: dict, rom2d: jax.Array, addr: jax.Array) -> jax.Array:
     )
 
 
+def _write_ram(ram, addr, value, do):
+    addr = addr & 0x1FFF
+    value = value & 0xFF
+    sh = (addr & 3) * 8
+    mr = _oh_rows((addr & 0x7F) >> 2, 32) & (_ram_sel(addr) & do)
+    return jnp.where(mr, (ram & ~(0xFF << sh)) | (value << sh), ram)
+
+
 def _write(s: dict, addr: jax.Array, value: jax.Array, do: jax.Array):
     """Masked bus write; returns (ram, tia, tia_waddr) merged by ``do``."""
     addr = addr & 0x1FFF
@@ -239,11 +255,22 @@ def _wrap160(v: jax.Array) -> jax.Array:
     return jnp.where(v >= 160, v - 160, v)
 
 
-def step_batched(s: dict, tables: dict) -> dict:
+def step_batched(s: dict, tables: dict, act: jax.Array = None) -> dict:
     """One instruction for every lane — batched ``step_instruction``
     (cpu6502.py:303) fused with the TIA beam bookkeeping
-    (tia.py::_instr).  All per-lane scalars are [B] vectors."""
+    (tia.py::_instr).  All per-lane scalars are [B] vectors.
+
+    ``act`` ([1, B] bool) masks which lanes advance: memory writes are
+    gated at their masks and the register scalars merged at the end, so
+    an inactive lane's state is bit-identical to not stepping — this
+    replaces the line loop's former wholesale ~126-row state merge per
+    sub-step (RAM 32 + TIA 64 + CX 8 rows of where-traffic) with 8
+    one-row scalar merges.  It also sharpens the rare-path lax.cond
+    gates below (a finished lane cannot trigger them)."""
     rom2d = tables["rom2d"]
+    if act is None:
+        act = jnp.ones(s["pc"].shape, bool)
+    waddr_prev = s["tia_waddr"]
     s = {**s, "tia_waddr": jnp.full_like(s["pc"], -1)}
     pre_cycles = s["cycles"]
     pre_vsync = s["tia"][0:1]
@@ -260,7 +287,7 @@ def step_batched(s: dict, tables: dict) -> dict:
             jnp.asarray(tables["decode"]), dec_oh, (((0,), (0,)), ((), ())),
             preferred_element_type=_f32,
         ).astype(_i32)  # [4, B]
-        return opcode, b1, b2, dec
+        return b1, b2, dec
 
     def _fetch_fast(operand):
         s_, pc_ = operand
@@ -272,14 +299,15 @@ def step_batched(s: dict, tables: dict) -> dict:
         row = jax.lax.dot_general(
             meta, mh, (((0,), (0,)), ((), ())),
             preferred_element_type=_f32,
-        )  # [512, B]
+        )  # [256, B]
         row3 = row.reshape(64, 8, row.shape[-1])
         sel = _oh_rows(idx & 63, 64)[:, None, :]
         f = jnp.where(sel, row3, 0.0).sum(0).astype(_i32)  # [8, B]
-        return f[0:1], f[1:2], f[2:3], f[3:7]
+        dec = jnp.concatenate([f[3:4], f[4:5], f[5:6], f[6:7]])
+        return f[1:2], f[2:3], dec
 
     if meta is None:
-        opcode, b1, b2, dec = _fetch_slow((s, pc))
+        b1, b2, dec = _fetch_slow((s, pc))
     else:
         # Slow path when any lane executes from RAM/TIA space or within
         # 2 bytes of the 4K window end (pc+1/pc+2 leave the window).
@@ -288,7 +316,7 @@ def step_batched(s: dict, tables: dict) -> dict:
             "ram": s["ram"], "cx": s["cx"], "swcha": s["swcha"],
             "inpt4": s["inpt4"], "bank": s["bank"],
         }
-        opcode, b1, b2, dec = jax.lax.cond(
+        b1, b2, dec = jax.lax.cond(
             jnp.sum(needs_slow.astype(_i32)) > 0,
             _fetch_slow, _fetch_fast, (fetch_bus, pc),
         )
@@ -302,11 +330,30 @@ def step_batched(s: dict, tables: dict) -> dict:
     zpy_a = (b1 + y) & 0xFF
     abx_a = (abs_addr + x) & 0xFFFF
     aby_a = (abs_addr + y) & 0xFFFF
-    izx_ptr = (b1 + x) & 0xFF
-    p0 = _bus_nonrom(s, izx_ptr)
-    p1 = _bus_nonrom(s, (izx_ptr + 1) & 0xFF)
-    p2 = _bus_nonrom(s, b1)
-    p3 = _bus_nonrom(s, (b1 + 1) & 0xFF)
+    # Zero-page pointer reads only matter for IZX/IZY lanes — gated
+    # per tile with a MINIMAL cond operand (the bus-view pattern that
+    # survived the round-4/5 cond ablations; whole-state operands made
+    # lax.cond slower than the work it saved).
+    zp_bus = {
+        "ram": s["ram"], "cx": s["cx"], "swcha": s["swcha"],
+        "inpt4": s["inpt4"],
+    }
+
+    def _zp_ptr_reads(operand):
+        bus, b1_, x_ = operand
+        ptr = (b1_ + x_) & 0xFF
+        return (
+            _bus_nonrom(bus, ptr),
+            _bus_nonrom(bus, (ptr + 1) & 0xFF),
+            _bus_nonrom(bus, b1_),
+            _bus_nonrom(bus, (b1_ + 1) & 0xFF),
+        )
+
+    p0, p1, p2, p3 = jax.lax.cond(
+        _any(((mode == IZX) | (mode == IZY)) & act), _zp_ptr_reads,
+        lambda operand: tuple(jnp.zeros_like(pc) for _ in range(4)),
+        (zp_bus, b1, x),
+    )
     izx_a = p0 | (p1 << 8)
     izy_a = ((p2 | (p3 << 8)) + y) & 0xFFFF
     addr_pre = _select(
@@ -316,8 +363,40 @@ def step_batched(s: dict, tables: dict) -> dict:
          abs_addr],
         jnp.zeros_like(pc),
     )
-    indl = _read(s, rom2d, abs_addr)
-    indh = _read(s, rom2d, (abs_addr & 0xFF00) | ((abs_addr + 1) & 0xFF))
+    # JMP-(ind) vector reads: both bytes of the 6502 page-wrapped
+    # vector come from ONE indpair contraction (build_tables packs
+    # rom[j] and rom[page-wrap(j+1)] side by side) when the vector is
+    # in ROM, with the exact bus fallback for RAM vectors; gated per
+    # tile — opcode $6C is rare.  indpair entries are single bytes
+    # (<= 255), exact at default matmul precision.
+    indpair = tables.get("indpair")
+
+    def _ind_reads(operand):
+        bus, bank_, aaddr = operand
+        am = aaddr & 0x1FFF
+        wrap = (am & 0xFF00) | ((am + 1) & 0xFF)
+        rh_i = indpair.shape[0]
+        idx_i = jnp.where(
+            rh_i > 64, bank_ * 4096 + (am & 0xFFF), am & 0xFFF
+        )
+        mh_i = _oh_rows(idx_i >> 6, rh_i).astype(_f32)
+        row_i = jax.lax.dot_general(
+            indpair, mh_i, (((0,), (0,)), ((), ())),
+            preferred_element_type=_f32,
+        )
+        row2_i = row_i.reshape(64, 2, row_i.shape[-1])
+        sel_i = _oh_rows(idx_i & 63, 64)[:, None, :]
+        pair_i = jnp.where(sel_i, row2_i, 0.0).sum(0).astype(_i32)
+        in_rom_i = am >= 0x1000
+        lo = jnp.where(in_rom_i, pair_i[0:1], _bus_nonrom(bus, am))
+        hi = jnp.where(in_rom_i, pair_i[1:2], _bus_nonrom(bus, wrap))
+        return lo, hi
+
+    indl, indh = jax.lax.cond(
+        _any((mode == IND) & act), _ind_reads,
+        lambda operand: (jnp.zeros_like(pc), jnp.zeros_like(pc)),
+        (zp_bus, s["bank"], abs_addr),
+    )
     mem_v = _read(s, rom2d, addr_pre)
     ind_a = indl | (indh << 8)
     addr = jnp.where(mode == IND, ind_a, addr_pre)
@@ -329,17 +408,42 @@ def step_batched(s: dict, tables: dict) -> dict:
     adc_sum = a + operand + carry
     adc_rb = adc_sum & 0xFF
     adc_cb = (adc_sum > 0xFF).astype(_i32)
-    d_lo = (a & 0x0F) + (operand & 0x0F) + carry
-    d_hi = (a & 0xF0) + (operand & 0xF0)
-    lo_fix = d_lo > 0x09
-    d_hi = d_hi + jnp.where(lo_fix, 0x10, 0)
-    d_lo = d_lo + jnp.where(lo_fix, 0x06, 0)
-    adc_v_dec = ((~(a ^ operand) & (a ^ d_hi)) & 0x80) != 0
-    adc_n_dec = (d_hi & 0x80) != 0
-    hi_fix = d_hi > 0x90
-    d_hi = d_hi + jnp.where(hi_fix, 0x60, 0)
-    adc_c_dec = (d_hi > 0xF0).astype(_i32)
-    adc_r_dec = ((d_lo & 0x0F) | (d_hi & 0xF0)) & 0xFF
+
+    # NMOS decimal-mode ALU, gated per tile: game kernels only run
+    # ADC/SBC with the D flag set in score-update sections, and the BCD
+    # fix-up chain is ~25 VPU ops per instruction otherwise.
+    def _decimal_alu(operand_):
+        a_, op_, carry_ = operand_
+        d_lo = (a_ & 0x0F) + (op_ & 0x0F) + carry_
+        d_hi = (a_ & 0xF0) + (op_ & 0xF0)
+        lo_fix = d_lo > 0x09
+        d_hi = d_hi + jnp.where(lo_fix, 0x10, 0)
+        d_lo = d_lo + jnp.where(lo_fix, 0x06, 0)
+        adc_v_d = (((~(a_ ^ op_) & (a_ ^ d_hi)) & 0x80) != 0).astype(_i32)
+        adc_n_d = ((d_hi & 0x80) != 0).astype(_i32)
+        hi_fix = d_hi > 0x90
+        d_hi = d_hi + jnp.where(hi_fix, 0x60, 0)
+        adc_c_d = (d_hi > 0xF0).astype(_i32)
+        adc_r_d = ((d_lo & 0x0F) | (d_hi & 0xF0)) & 0xFF
+        s_lo = (a_ & 0x0F) - (op_ & 0x0F) - (1 - carry_)
+        lo_borrow = (s_lo & 0x10) != 0
+        s_lo = s_lo - jnp.where(lo_borrow, 6, 0)
+        s_hi = (a_ >> 4) - (op_ >> 4) - lo_borrow.astype(_i32)
+        hi_borrow = (s_hi & 0x10) != 0
+        s_hi = s_hi - jnp.where(hi_borrow, 6, 0)
+        sbc_r_d = ((s_lo & 0x0F) | ((s_hi & 0x0F) << 4)) & 0xFF
+        return adc_r_d, adc_c_d, adc_v_d, adc_n_d, sbc_r_d
+
+    dec_used = decimal & ((op == O_ADC) | (op == O_SBC))
+    adc_r_dec, adc_c_dec, adc_v_dec_i, adc_n_dec_i, sbc_r_dec = (
+        jax.lax.cond(
+            _any(dec_used & act), _decimal_alu,
+            lambda o: tuple(jnp.zeros_like(a) for _ in range(5)),
+            (a, operand, carry),
+        )
+    )
+    adc_v_dec = adc_v_dec_i != 0
+    adc_n_dec = adc_n_dec_i != 0
     adc_r = jnp.where(decimal, adc_r_dec, adc_rb)
     adc_c = jnp.where(decimal, adc_c_dec, adc_cb)
     # Select between int32 flags, not i1 vectors: an i1-valued select
@@ -355,13 +459,6 @@ def step_batched(s: dict, tables: dict) -> dict:
     sbc_rb = sbc_sum & 0xFF
     sbc_c = (sbc_sum > 0xFF).astype(_i32)
     sbc_v = ((~(a ^ sbc_op) & (a ^ sbc_sum)) & 0x80) != 0
-    s_lo = (a & 0x0F) - (operand & 0x0F) - (1 - carry)
-    lo_borrow = (s_lo & 0x10) != 0
-    s_lo = s_lo - jnp.where(lo_borrow, 6, 0)
-    s_hi = (a >> 4) - (operand >> 4) - lo_borrow.astype(_i32)
-    hi_borrow = (s_hi & 0x10) != 0
-    s_hi = s_hi - jnp.where(hi_borrow, 6, 0)
-    sbc_r_dec = ((s_lo & 0x0F) | ((s_hi & 0x0F) << 4)) & 0xFF
     sbc_r = jnp.where(decimal, sbc_r_dec, sbc_rb)
     asl_r = (operand << 1) & 0xFF
     asl_c = operand >> 7 & 1
@@ -406,10 +503,20 @@ def step_batched(s: dict, tables: dict) -> dict:
     )
     do_push1 = is_jsr | is_pha | is_php
     sp1 = jnp.where(do_push1, (sp - 1) & 0xFF, sp)
-    ram2, tia2, wa2 = _write(s, 0x100 + sp, push1_v, do_push1)
-    s2 = {**s, "ram": ram2, "tia": tia2, "tia_waddr": wa2}
-    ram3, tia3, wa3 = _write(s2, 0x100 + sp1, ret_pc & 0xFF, is_jsr)
-    s3 = {**s2, "ram": ram3, "tia": tia3, "tia_waddr": wa3}
+
+    # Stack pushes only touch RAM ($100+SP) — RAM-only writes, gated
+    # per tile (pushes are a small slice of the instruction mix).
+    def _push_writes(operand):
+        ram_, sp_, sp1_, v1, v2, do1, do2 = operand
+        ram_ = _write_ram(ram_, 0x100 + sp_, v1, do1)
+        return _write_ram(ram_, 0x100 + sp1_, v2, do2)
+
+    ram3 = jax.lax.cond(
+        _any(do_push1 & act), _push_writes, lambda operand: operand[0],
+        (s["ram"], sp, sp1, push1_v, ret_pc & 0xFF,
+         do_push1 & act, is_jsr & act),
+    )
+    s3 = {**s, "ram": ram3}
     sp2 = jnp.where(is_jsr, (sp1 - 1) & 0xFF, sp1)
 
     is_pla = op == O_PLA
@@ -435,7 +542,7 @@ def step_batched(s: dict, tables: dict) -> dict:
         "inpt4": s3["inpt4"],
     }
     pull1, pull2, pull3 = jax.lax.cond(
-        _any(is_pla | is_plp | is_rts | is_rti), _pull_reads,
+        _any((is_pla | is_plp | is_rts | is_rti) & act), _pull_reads,
         lambda operand: tuple(jnp.zeros_like(sp) for _ in range(3)),
         (bus_view, (sp2 + 1) & 0xFF, (sp3 + 1) & 0xFF, (sp4 + 1) & 0xFF),
     )
@@ -457,7 +564,7 @@ def step_batched(s: dict, tables: dict) -> dict:
         | (((op == O_ASL) | (op == O_LSR) | (op == O_ROL) | (op == O_ROR))
            & (mode != ACC))
     )
-    ram4, tia4, wa4 = _write(s3, addr, store_v, do_store)
+    ram4, tia4, wa4 = _write(s3, addr, store_v, do_store & act)
     s4 = {**s3, "ram": ram4, "tia": tia4, "tia_waddr": wa4}
 
     # --- flags ------------------------------------------------------------
@@ -554,6 +661,16 @@ def step_batched(s: dict, tables: dict) -> dict:
 
     new_cycles = s["cycles"] + cycles
 
+    # Inactive lanes keep their registers (writes above were gated).
+    new_a = jnp.where(act, new_a, a)
+    new_x = jnp.where(act, new_x, x)
+    new_y = jnp.where(act, new_y, y)
+    new_sp = jnp.where(act, new_sp, sp)
+    new_p = jnp.where(act, new_p, p)
+    new_pc = jnp.where(act, new_pc, pc)
+    new_bank = jnp.where(act, new_bank, s["bank"])
+    new_cycles = jnp.where(act, new_cycles, pre_cycles)
+
     # ===== TIA beam bookkeeping (tia.py::_instr, batched) ==================
     wrote = s4["tia_waddr"]
     wsync = wrote == 0x02
@@ -631,7 +748,7 @@ def step_batched(s: dict, tables: dict) -> dict:
         "pc": new_pc,
         "bank": new_bank,
         "cycles": new_cycles,
-        "tia_waddr": s4["tia_waddr"],
+        "tia_waddr": jnp.where(act, s4["tia_waddr"], waddr_prev),
         "swcha": s["swcha"],
         "inpt4": s["inpt4"],
         "scanline": scanline.astype(_i32),
@@ -810,8 +927,7 @@ def _line_slot(s: dict, done: jax.Array, tables: dict):
         s_, n = c
         for _ in range(3):
             act = (s_["line_cycles"] < CYCLES_PER_LINE) & (n < _BUDGET)
-            s2 = step_batched(s_, tables)
-            s_ = _merge(act, s2, s_)
+            s_ = step_batched(s_, tables, act)
             n = n + act.astype(_i32)
         return s_, n
 
@@ -875,13 +991,16 @@ def scatter_lines(lines0, recs, rowsel, rows):
     resync can't skew the buffer.
     """
     oh = (
-        jax.nn.one_hot(rows, VISIBLE_LINES, dtype=_f32, axis=1)
-        * rowsel[:, None, :]
+        jax.nn.one_hot(rows, VISIBLE_LINES, dtype=jnp.bfloat16, axis=1)
+        * rowsel[:, None, :].astype(jnp.bfloat16)
     )  # [S, L, B]
-    new_rows = jnp.einsum(
-        "slb,skb->blk", oh, recs.astype(_f32)
-    ).astype(_i32)  # [B, L, NREG]
-    written = oh.sum(0).transpose(1, 0)  # [B, L]
+    ones = jnp.ones((recs.shape[0], 1, recs.shape[2]), jnp.bfloat16)
+    recs_ext = jnp.concatenate([recs.astype(jnp.bfloat16), ones], axis=1)
+    out = jnp.einsum(
+        "slb,skb->blk", oh, recs_ext, preferred_element_type=_f32
+    )  # [B, L, NREG + 1]
+    new_rows = out[..., :-1].astype(_i32)
+    written = out[..., -1]
     return jnp.where(written[:, :, None] != 0, new_rows, lines0)
 
 

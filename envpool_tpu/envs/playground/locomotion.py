@@ -50,6 +50,11 @@ def _base_model(kind: str):
 
         m = mujoco.MjModel.from_xml_string(go1_xml())
         return from_mj_model(m), m
+    if kind in ("spot", "h1", "g1"):
+        from .robot_models import ROBOT_SPECS
+
+        m = mujoco.MjModel.from_xml_string(ROBOT_SPECS[kind][0]())
+        return from_mj_model(m), m
     if kind == "quadruped":
         from dm_control.suite import common, quadruped
 
@@ -111,21 +116,37 @@ class _LocomotionBase(TpuEnv):
     def __init__(self, config):
         super().__init__(config)
         robot = str(config["robot"])
-        # Go1 runs its REAL morphology (go1_model.py); the others still
-        # use the documented dm_control stand-ins.
-        if robot == "go1":
-            kind = "go1"
+        # Go1/Spot/H1/G1 run REAL morphologies (go1_model.py /
+        # robot_models.py); the others still use the documented
+        # dm_control stand-ins.
+        if robot in ("go1", "spot", "h1", "g1"):
+            kind = robot
         elif robot in _QUADRUPEDS:
             kind = "quadruped"
         else:
             kind = "humanoid"
-        self.real_morph = kind == "go1"
+        self.real_morph = kind in ("go1", "spot", "h1", "g1")
+        self.robot = robot
         self.model, self._mj = _base_model(kind)
-        if self.real_morph:
+        if kind == "go1":
+            from .go1_model import DEFAULT_POSE, TORQUE_LIMIT
+
+            self._pose_tab, self._lim_tab = DEFAULT_POSE, TORQUE_LIMIT
+            self._fall_height = 0.15
             # Penalty-contact stiffness sized to the Go1's light feet
             # (~0.3 kg effective): sqrt(k/m)*dt must stay << 1 at
             # dt = 4 ms or the first touch explodes.
             self.contact_override = ContactParams(kp=2.0e3, kd=1.2e2)
+        elif self.real_morph:
+            from .robot_models import ROBOT_SPECS
+
+            _, pose, lim, fall, (ckp, ckd) = ROBOT_SPECS[kind]
+            self._pose_tab, self._lim_tab = pose, lim
+            self._fall_height = fall
+            self.contact_override = ContactParams(kp=ckp, kd=ckd)
+        else:
+            self._pose_tab = self._lim_tab = None
+            self._fall_height = 0.15
         self.nu_agent = ROBOT_NU[robot]
         self.nu_sim = self.model.nu
         self.n_sub = max(
@@ -163,18 +184,16 @@ class _LocomotionBase(TpuEnv):
     def _pd_ctrl(self, action, qpos, qvel):
         """Playground PD recipe on a real morphology: torque =
         kp*(default_pose + action_scale*a - q) - kd*qd, clamped to the
-        robot's published torque limits (go1_model.TORQUE_LIMIT)."""
-        from .go1_model import DEFAULT_POSE, TORQUE_LIMIT
-
+        robot's published torque limits (go1_model / robot_models)."""
         a = jnp.clip(action, -1.0, 1.0) * float(self.config["action_scale"])
-        target = jnp.asarray(DEFAULT_POSE) + a
+        target = jnp.asarray(self._pose_tab) + a
         jp = qpos[jnp.asarray(self._hinge_qadr)]
         jv = qvel[jnp.asarray(self._hinge_dadr)]
         torque = (
             float(self.config["kp"]) * (target - jp)
             - float(self.config["kd"]) * jv
         )
-        lim = jnp.asarray(TORQUE_LIMIT)
+        lim = jnp.asarray(self._lim_tab)
         return jnp.clip(torque, -lim, lim)
 
     def _obs_vec(self, qpos, qvel, prev_action, command):
@@ -215,10 +234,8 @@ class _LocomotionBase(TpuEnv):
     def _init_qpos(self, key):
         qpos = jnp.asarray(self.model.qpos0, jnp.float32)
         if self.real_morph:
-            from .go1_model import DEFAULT_POSE
-
             qpos = qpos.at[jnp.asarray(self._hinge_qadr)].set(
-                jnp.asarray(DEFAULT_POSE)
+                jnp.asarray(self._pose_tab)
             )
         # Drop the base to rest height.
         from ...physics.dynamics import _contact_points
@@ -350,7 +367,7 @@ class JoystickEnv(_LocomotionBase):
         # Fall detection: torso below a fraction of nominal height or
         # flipped.
         upright = R[2, 2]
-        fallen = (ps[self._torso][2] < 0.15) | (upright < 0.0)
+        fallen = (ps[self._torso][2] < self._fall_height) | (upright < 0.0)
         return r, fallen
 
 

@@ -19,7 +19,16 @@ def _reg(task_name: str, env_cls: str, steps: int, **kw: Any) -> None:
     )
 
 
-# Locomotion: joystick command tracking.
+# Locomotion: joystick command tracking.  Per-robot PD gains: the
+# class default (35, 0.5) is the published Go1 joystick gain; the
+# heavier real morphologies (robot_models.py) need stiffer holding
+# torques (sized to m*g*L gravity torque at the standing pose).
+_GAINS = {
+    "spot": {"kp": 300.0, "kd": 5.0},
+    "h1": {"kp": 200.0, "kd": 5.0},
+    "g1": {"kp": 150.0, "kd": 4.0},
+}
+
 for _name, _robot, _rough in (
     ("ApolloJoystickFlatTerrain", "apollo", False),
     ("BarkourJoystick", "barkour", False),
@@ -33,17 +42,20 @@ for _name, _robot, _rough in (
     ("T1JoystickFlatTerrain", "t1", False),
     ("T1JoystickRoughTerrain", "t1", True),
 ):
-    _reg(_name, "JoystickEnv", 1000, robot=_robot, rough_terrain=_rough)
+    _reg(_name, "JoystickEnv", 1000, robot=_robot, rough_terrain=_rough,
+         **_GAINS.get(_robot, {}))
 
 _reg(
     "H1InplaceGaitTracking", "JoystickEnv", 1000, robot="h1",
     action_scale=0.6, history_len=3, obs_noise_level=1.0,
     feet_phase_scale=2.0, pose_scale=-0.5, gait_frequency_max=4.0,
-    gait_count=2,
+    gait_count=2, **_GAINS["h1"],
 )
-_reg("H1JoystickGaitTracking", "JoystickEnv", 1000, robot="h1")
+_reg("H1JoystickGaitTracking", "JoystickEnv", 1000, robot="h1",
+     **_GAINS["h1"])
 _reg(
-    "SpotFlatTerrainJoystick", "JoystickEnv", 1000, robot="spot"
+    "SpotFlatTerrainJoystick", "JoystickEnv", 1000, robot="spot",
+    **_GAINS["spot"]
 )
 _reg(
     "SpotJoystickGaitTracking", "JoystickEnv", 1000, robot="spot",

@@ -120,3 +120,39 @@ def test_pallas_wrapper_interpret_matches_batched():
         np.testing.assert_array_equal(
             np.asarray(r), np.asarray(g), err_msg=name
         )
+
+
+def test_multi_frame_trajectory_vs_unbatched_scalar():
+    """Frame-count trajectory vs the UNVMAPPED scalar emulator.
+
+    Regression test for the round-5 matmul-precision bug: the MXU's
+    default precision is single-pass bf16, which silently zeroes the
+    low bits of table entries wider than 8 mantissa bits at some batch
+    sizes — the batched fetch then mis-reads operands and frames run
+    the wrong length.  The scalar reference here never touches the
+    batched contractions, so any lossy table encoding diverges within
+    a frame (the short power-on frame makes cycle counts a sharp
+    signal: 192 vs a full 19916-cycle frame when broken).
+    """
+    rom_np = _pong_rom()
+    rom_j = jnp.asarray(rom_np, jnp.int32)
+    m_s = tia.attach_tia(cpu6502.make_machine(rom_np))
+    B = 4
+    m_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), m_s)
+
+    scalar_frame = jax.jit(lambda m: tia.run_frame(m, rom_j, 0))
+    fast = jax.jit(
+        jax.vmap(lambda mm: machine_kernel.run_frame_fast(mm, rom_np))
+    )
+    for f in range(5):
+        m_s = scalar_frame(m_s)
+        m_b = fast(m_b)
+        assert int(np.asarray(m_s["cycles"])) == int(m_b["cycles"][0]), (
+            f"frame {f}: cycle trajectory diverged"
+        )
+        for k in ("a", "x", "y", "pc", "p", "scanline"):
+            assert int(np.asarray(m_s[k])) == int(m_b[k][0]), (f, k)
+        np.testing.assert_array_equal(
+            np.asarray(m_s["ram"]), np.asarray(m_b["ram"][0]),
+            err_msg=f"frame {f}: RAM diverged",
+        )
