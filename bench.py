@@ -168,11 +168,17 @@ def _bench_machine2600(batch: int = 1024, reps: int = 20) -> float:
         jax.vmap(lambda mm: machine_kernel.run_frame_fast(mm, rom_np))
     )
     m = step(m)
-    jax.block_until_ready(m)
+    # Warm past the short power-on frames into steady full frames, and
+    # use device_get as the completion barrier (block_until_ready
+    # through the axon relay reports optimistically — observed 200x
+    # phantom rates without a host read).
+    for _ in range(6):
+        m = step(m)
+    jax.device_get(m["cycles"])
     t0 = time.perf_counter()
     for _ in range(reps):
         m = step(m)
-    jax.block_until_ready(m)
+    jax.device_get(m["cycles"])
     return reps * batch / (time.perf_counter() - t0)
 
 

@@ -857,13 +857,15 @@ def _line_masks(rec: jax.Array):
     return pf, bl, pl0, pl1, m0, m1
 
 
-def _collisions(rec: jax.Array) -> jax.Array:
+def _collisions_matmul(rec: jax.Array) -> jax.Array:
     """[8, B] per-line collision contributions (tia._collisions).
 
     The 15 pairwise any-overlap tests ride the MXU: the AND-masks are
     concatenated into one [15*160, B] matrix and contracted against a
     static 15-row block-selector — one matmul replaces 15 sublane
-    reductions (measured ~1.6 ms/frame at B=1024).
+    reductions (measured ~1.6 ms/frame at B=1024).  Superseded by the
+    bit-parallel ``_collisions`` below; kept as the property-test
+    oracle (tests/test_machine_kernel.py locks them equal).
     """
     pf, bl, pl0, pl1, m0, m1 = _line_masks(rec)
     pairs = [
@@ -900,6 +902,159 @@ def _collisions(rec: jax.Array) -> jax.Array:
         (g(10) << 7) | (g(11) << 6),
         g(12) << 7,
         (g(13) << 7) | (g(14) << 6),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Bit-parallel collision masks: each object's 160-pixel line lives in
+# five 32-bit words per lane ([5, B] u32, bit p of word w = pixel
+# 32w+p), so a pairwise any-overlap test is 5 ANDs + an OR-reduce
+# instead of 160 boolean rows — the full 15-pair matrix drops from a
+# [2400, B] concat + MXU contraction to ~150 one-row VPU ops.
+# ---------------------------------------------------------------------------
+
+_u32 = jnp.uint32
+
+
+def _rev8(x):
+    """Bit-reverse of an 8-bit value (3 swap stages)."""
+    x = ((x & 0xF0) >> 4) | ((x & 0x0F) << 4)
+    x = ((x & 0xCC) >> 2) | ((x & 0x33) << 2)
+    return ((x & 0xAA) >> 1) | ((x & 0x55) << 1)
+
+
+def _spread2(x):
+    """8 bits -> 16 bits, each input bit doubled (x2 scale)."""
+    x = (x | (x << 4)) & 0x0F0F
+    x = (x | (x << 2)) & 0x3333
+    x = (x | (x << 1)) & 0x5555
+    return x * 0x3
+
+
+def _spread4(x):
+    """8 bits -> 32 bits, each input bit quadrupled (x4 scale)."""
+    x = (x | (x << 12)) & 0x000F000F
+    x = (x | (x << 6)) & 0x03030303
+    x = (x | (x << 3)) & 0x11111111
+    return x * 0xF
+
+
+def _place_bits(pat, pos):
+    """[5, B] u32 line words with ``pat`` (<= 32 bits) at pixel ``pos``.
+
+    Pixels past 159 fall off word 4 — identical to the mask form's
+    ``xx < 160`` clipping.  Shift amounts are clamped to [0, 31] and
+    the results gated (shift-by->=width is undefined)."""
+    words = []
+    for w in range(5):
+        sh = pos - 32 * w
+        shl = jnp.clip(sh, 0, 31).astype(_u32)
+        shr = jnp.clip(-sh, 0, 31).astype(_u32)
+        left = jnp.where((sh >= 0) & (sh < 32), pat << shl, _u32(0))
+        right = jnp.where((sh < 0) & (sh > -32), pat >> shr, _u32(0))
+        words.append(left | right)
+    return jnp.concatenate(words)  # [5, B]
+
+
+def _pf_words(pf0, pf1, pf2, ctrl):
+    """Playfield occupancy words: 20-bit half expanded x4, mirrored or
+    repeated on the right per CTRLPF bit 0."""
+    seq = (
+        ((pf0 >> 4) & 0xF) | (_rev8(pf1) << 4) | ((pf2 & 0xFF) << 12)
+    ).astype(_u32)  # bit i = playfield column i (left to right)
+    rev = (
+        (_rev8(seq & 0xFF) << 12)
+        | (_rev8((seq >> 8) & 0xFF) << 4)
+        | (_rev8((seq >> 16) & 0xF) >> 4)
+    )
+    right_seq = jnp.where((ctrl & 1) != 0, rev, seq)
+
+    def half(s):
+        return (
+            _spread4(s & 0xFF),            # pixels 0-31 of the half
+            _spread4((s >> 8) & 0xFF),     # 32-63
+            _spread4((s >> 16) & 0xF),     # 64-79 (low 16 bits)
+        )
+
+    l0, l1, l2 = half(seq)
+    r0, r1, r2 = half(right_seq)
+    return jnp.concatenate([
+        l0, l1, (l2 & 0xFFFF) | (r0 << 16),
+        ((r0 >> 16) & 0xFFFF) | (r1 << 16),
+        ((r1 >> 16) & 0xFFFF) | ((r2 & 0xFFFF) << 16),
+    ])  # [5, B]
+
+
+def _player_words(grp, pos, nusiz, refp):
+    """Player occupancy: GRP pattern (reflected per REFP, scaled per
+    NUSIZ 5/7) placed at each NUSIZ copy offset."""
+    mode7 = nusiz & 7
+    reflect = (refp & 0x08) != 0
+    # Pixel q of a copy shows grp bit (reflect ? q>>lgs : 7 - q>>lgs).
+    base = jnp.where(reflect, grp, _rev8(grp)).astype(_u32)
+    pat = jnp.where(
+        mode7 == 5, _spread2(base),
+        jnp.where(mode7 == 7, _spread4(base), base),
+    )
+    has16 = (mode7 == 1) | (mode7 == 3)
+    has32 = (mode7 == 2) | (mode7 == 3) | (mode7 == 6)
+    has64 = (mode7 == 4) | (mode7 == 6)
+    out = _place_bits(pat, pos)
+    out = out | jnp.where(has16, _place_bits(pat, pos + 16), _u32(0))
+    out = out | jnp.where(has32, _place_bits(pat, pos + 32), _u32(0))
+    out = out | jnp.where(has64, _place_bits(pat, pos + 64), _u32(0))
+    return out
+
+
+def _missile_words(enam, pos, nusiz, resmp):
+    w = _u32(1) << (((nusiz >> 4) & 3).astype(_u32))
+    pat = (_u32(1) << w) - _u32(1)
+    on = ((enam & 2) != 0) & ((resmp & 2) == 0)
+    return jnp.where(on, _place_bits(pat, pos), _u32(0))
+
+
+def _ball_words(enabl, pos, ctrl):
+    w = _u32(1) << (((ctrl >> 4) & 3).astype(_u32))
+    pat = (_u32(1) << w) - _u32(1)
+    return jnp.where((enabl & 2) != 0, _place_bits(pat, pos), _u32(0))
+
+
+def _collisions(rec: jax.Array) -> jax.Array:
+    """[8, B] per-line collision contributions, bit-parallel form.
+
+    Exactly ``_collisions_matmul``'s semantics (property-locked in
+    tests); each object mask is [5, B] u32 words and a pair test is
+    (A & B) OR-reduced != 0."""
+
+    def row(i):
+        return rec[i : i + 1]
+
+    pf = _pf_words(row(R_PF0), row(R_PF1), row(R_PF2), row(R_CTRLPF))
+    bl = _ball_words(row(R_ENABL), row(R_POSBL), row(R_CTRLPF))
+    pl0 = _player_words(row(R_GRP0), row(R_POSP0), row(R_NUSIZ0),
+                        row(R_REFP0))
+    pl1 = _player_words(row(R_GRP1), row(R_POSP1), row(R_NUSIZ1),
+                        row(R_REFP1))
+    m0 = _missile_words(row(R_ENAM0), row(R_POSM0), row(R_NUSIZ0),
+                        row(R_RESMP0))
+    m1 = _missile_words(row(R_ENAM1), row(R_POSM1), row(R_NUSIZ1),
+                        row(R_RESMP1))
+
+    def hit(a_, b_):
+        x = a_ & b_
+        return (
+            (x[0:1] | x[1:2] | x[2:3] | x[3:4] | x[4:5]) != 0
+        ).astype(_i32)
+
+    return jnp.concatenate([
+        (hit(m0, pl1) << 7) | (hit(m0, pl0) << 6),
+        (hit(m1, pl0) << 7) | (hit(m1, pl1) << 6),
+        (hit(pl0, pf) << 7) | (hit(pl0, bl) << 6),
+        (hit(pl1, pf) << 7) | (hit(pl1, bl) << 6),
+        (hit(m0, pf) << 7) | (hit(m0, bl) << 6),
+        (hit(m1, pf) << 7) | (hit(m1, bl) << 6),
+        hit(bl, pf) << 7,
+        (hit(pl0, pl1) << 7) | (hit(m0, m1) << 6),
     ])
 
 

@@ -25,7 +25,7 @@ from .machine_kernel import NREG, NS, SCALARS, _SLOTS, _line_slot
 
 __all__ = ["frame_pallas"]
 
-B_TILE_MAX = 1024
+B_TILE_MAX = 2048
 
 _i32 = jnp.int32
 

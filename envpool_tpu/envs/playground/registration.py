@@ -26,7 +26,7 @@ def _reg(task_name: str, env_cls: str, steps: int, **kw: Any) -> None:
 _GAINS = {
     "spot": {"kp": 300.0, "kd": 5.0},
     "h1": {"kp": 200.0, "kd": 5.0},
-    "g1": {"kp": 150.0, "kd": 4.0},
+    "g1": {"kp": 300.0, "kd": 8.0},
 }
 
 for _name, _robot, _rough in (

@@ -235,8 +235,11 @@ def _humanoid_motors(names, limits) -> str:
 # Joint order: left leg (hip_pitch, hip_roll, hip_yaw, knee,
 # ankle_pitch, ankle_roll), right leg, waist_yaw, left arm (shoulder
 # pitch/roll/yaw, elbow, wrist_roll), right arm.
+# Mildly-bent knee stand (the deep -0.31/0.63 crouch demands more
+# holding torque than the PD gains deliver on the penalty-contact
+# engine; the shallower stance is statically stable).
 G1_DEFAULT_POSE = np.asarray(
-    [-0.31, 0.0, 0.0, 0.63, -0.31, 0.0] * 2
+    [-0.2, 0.0, 0.0, 0.42, -0.22, 0.0] * 2
     + [0.0]
     + [0.0, 0.0, 0.0, 0.6, 0.0] * 2,
     np.float32,
@@ -273,11 +276,11 @@ def _g1_leg(side: str, sy: float) -> str:
                     mass="1.6"/>
               <body name="{side}_ankle_pitch_link" pos="0 0 -0.3">
                 <joint name="{side}_ankle_pitch" type="hinge" axis="0 1 0"
-                       range="-0.8727 0.5236" damping="0.3"/>
-                <geom type="sphere" size="0.025" mass="0.07"/>
+                       range="-0.8727 0.5236" damping="1.0"/>
+                <geom type="sphere" size="0.025" mass="0.25"/>
                 <body name="{side}_foot" pos="0 0 -0.025">
                   <joint name="{side}_ankle_roll" type="hinge" axis="1 0 0"
-                         range="-0.2618 0.2618" damping="0.3"/>
+                         range="-0.2618 0.2618" damping="1.0"/>
                   <geom type="box" pos="0.03 0 -0.015"
                         size="0.1 0.035 0.012" mass="0.45"/>
                   <geom name="{side}_heel" type="sphere" pos="-0.05 0 -0.03"

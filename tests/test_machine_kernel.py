@@ -156,3 +156,20 @@ def test_multi_frame_trajectory_vs_unbatched_scalar():
             np.asarray(m_s["ram"]), np.asarray(m_b["ram"][0]),
             err_msg=f"frame {f}: RAM diverged",
         )
+
+
+def test_bit_parallel_collisions_match_matmul_form():
+    """The [5, B]-word bit-parallel collision matrix is bit-equal to
+    the mask/matmul oracle over random register files (all NUSIZ
+    modes, reflections, scales, VDEL'd patterns, widths)."""
+    rng = np.random.default_rng(7)
+    B = 512
+    rec = np.zeros((tia.NREG, B), np.int32)
+    for i in range(tia.NREG):
+        rec[i] = rng.integers(0, 256, B)
+    for i in (tia.R_POSP0, tia.R_POSP1, tia.R_POSM0, tia.R_POSM1,
+              tia.R_POSBL):
+        rec[i] = rng.integers(0, 160, B)
+    a = np.asarray(machine_kernel._collisions_matmul(jnp.asarray(rec)))
+    b = np.asarray(machine_kernel._collisions(jnp.asarray(rec)))
+    np.testing.assert_array_equal(a, b)
